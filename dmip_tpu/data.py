@@ -1,0 +1,101 @@
+"""Dataset generation and on-device epoch batching.
+
+Re-specifies reference ``datasets.py``.  The reference's epoch loaders are
+Python closures yielding CPU minibatches (datasets.py:26-53); here an epoch
+is materialized as a single stacked (n_batches, batch, dim) device array so
+the whole epoch trains under one ``lax.scan`` (see :mod:`dmip_tpu.train`) —
+no host<->device transfer inside the training loop.
+
+Seeds: the reference mixes five torch seeding styles; here every function
+takes an explicit PRNG key.  Dataset *content* therefore differs from the
+reference bit-for-bit, but distributions and shapes match exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .problems import scatterometry as scat
+
+Array = jax.Array
+
+
+def generate_dataset_linear(
+    key: Array, xdim: int, f: Callable[[Array], Array], n_samples: int
+) -> Tuple[Array, Array]:
+    """x ~ N(0, I), y = f(x) (noise-free; added per-epoch) — datasets.py:37-41."""
+    x = jax.random.normal(key, (n_samples, xdim))
+    return x, f(x)
+
+
+def train_test_split(
+    key: Array, x: Array, y: Array, train_size: float
+) -> Tuple[Array, Array, Array, Array]:
+    """Random split (reference uses sklearn train_test_split,
+    main_diffusion_linear.py:150)."""
+    n = x.shape[0]
+    n_train = int(n * train_size)
+    perm = jax.random.permutation(key, n)
+    x, y = x[perm], y[perm]
+    return x[:n_train], x[n_train:], y[:n_train], y[n_train:]
+
+
+def linear_epoch_batches(
+    key: Array, x_train: Array, y_train: Array, sigma: float, batch_size: int
+) -> Tuple[Array, Array]:
+    """Per-epoch permutation + fresh observation noise (datasets.py:44-53).
+
+    Returns (xb, yb) of shape (n_batches, batch_size, dim); a trailing
+    partial batch is dropped (the reference's 90k/1000 split has none).
+    """
+    kp, kn = jax.random.split(key)
+    n = x_train.shape[0]
+    n_batches = n // batch_size
+    perm = jax.random.permutation(kp, n)
+    x = x_train[perm]
+    y = y_train[perm] + sigma * jax.random.normal(kn, y_train.shape, y_train.dtype)
+    keep = n_batches * batch_size
+    xb = x[:keep].reshape(n_batches, batch_size, -1)
+    yb = y[:keep].reshape(n_batches, batch_size, -1)
+    return xb, yb
+
+
+def generate_dataset_scatterometry(
+    key: Array,
+    forward_model: Callable[[Array], Array],
+    a: float,
+    b: float,
+    size: int = 100,
+    xdim: int = 3,
+) -> Tuple[Array, Array]:
+    """x ~ U(-1,1)^3, y via the heteroscedastic noise model (datasets.py:8-17)."""
+    kx, kn = jax.random.split(key)
+    x = jax.random.uniform(kx, (size, xdim)) * 2.0 - 1.0
+    y = scat.noisy_forward(kn, forward_model, x, a, b)
+    return x, y
+
+
+def scatterometry_epoch_batches(
+    key: Array,
+    forward_model: Callable[[Array], Array],
+    a: float,
+    b: float,
+    lambd_bd: float,
+    batch_size: int,
+    n_batches: int = 8,
+) -> Tuple[Array, Array]:
+    """Fresh per-epoch simulation: prior samples -> surrogate -> noise.
+
+    Reference datasets.py:26-34 (8 x batch_size new samples every epoch).
+    On TPU this folds entirely into the jitted epoch.
+    """
+    kx, kn = jax.random.split(key)
+    x = scat.sample_prior(kx, n_batches * batch_size, lambd_bd)
+    y = scat.noisy_forward(kn, forward_model, x, a, b)
+    return (
+        x.reshape(n_batches, batch_size, -1),
+        y.reshape(n_batches, batch_size, -1),
+    )

@@ -1,0 +1,332 @@
+"""Evaluation harnesses: posterior-sample histograms, KL, NLL, score-MSE.
+
+Re-specifies the ``evaluate`` functions of the reference drivers
+(main_diffusion_linear.py:53-137, main_diffusion_scatterometry.py:40-124):
+per test condition y, n_repeats x (E-M posterior sampling + ground-truth
+samples), 75^d histograms on a fixed box, eps-smoothed forward (and reverse)
+histogram KL, NLL under the true posterior / MCMC energy, and score-MSE at
+t=0 ("Fisher divergence").
+
+TPU-first: the reference loops ys on the host and histograms with numpy;
+here the entire per-y pipeline (10 repeats x 30k samples x 200 E-M steps +
+fused bucketize/scatter-add histograms) is one jitted function, and the
+Python level only accumulates tiny (nbins^d,) arrays and scalars.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from functools import partial
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.diffusion import DiffusionModel
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Device-side histograms + KL
+# ---------------------------------------------------------------------------
+
+
+def histogramdd_flat(x: Array, nbins: int, lo: float, hi: float) -> Array:
+    """d-dimensional fixed-range histogram, flattened to (nbins**d,).
+
+    Matches np.histogramdd semantics on a uniform grid: out-of-range points
+    are dropped; points exactly on the upper edge land in the last bin.
+    Implemented as fused bucketize + scatter-add (SURVEY.md §7 'hard parts').
+    """
+    d = x.shape[-1]
+    width = (hi - lo) / nbins
+    idx = jnp.floor((x - lo) / width).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, nbins - 1)
+    in_range = jnp.all((x >= lo) & (x <= hi), axis=-1)
+    flat = jnp.zeros(x.shape[0], jnp.int32)
+    for i in range(d):
+        flat = flat * nbins + idx[..., i]
+    weights = in_range.astype(jnp.float32)
+    return jnp.zeros(nbins**d, jnp.float32).at[flat].add(weights)
+
+
+def kl_pair(
+    hist_true: Array, hist_model: Array, epsilon: float = 1e-10
+) -> Tuple[Array, Array]:
+    """(forward KL, reverse KL) with the reference's eps-smooth+renormalize.
+
+    main_diffusion_linear.py:109-117 / main_diffusion_scatterometry.py:94-102:
+    normalize, add eps, renormalize, sum rel_entr.
+    """
+    p = hist_true / jnp.sum(hist_true) + epsilon
+    q = hist_model / jnp.sum(hist_model) + epsilon
+    p = p / jnp.sum(p)
+    q = q / jnp.sum(q)
+    kl = jnp.sum(p * (jnp.log(p) - jnp.log(q)))
+    kl_rev = jnp.sum(q * (jnp.log(q) - jnp.log(p)))
+    return kl, kl_rev
+
+
+# ---------------------------------------------------------------------------
+# Per-y evaluation kernels
+# ---------------------------------------------------------------------------
+
+
+def make_eval_y_linear(
+    model: DiffusionModel,
+    problem,
+    n_samples_x: int,
+    n_repeats: int,
+    num_steps: int = 200,
+    nbins: int = 75,
+    xlim: Tuple[float, float] = (-3.5, 3.5),
+):
+    """Jitted per-y evaluation for the linear problem (analytic oracle).
+
+    Returns eval_y(params, key, y) -> dict of per-y statistics; histograms
+    summed over repeats, NLL / MSE averaged (reference
+    main_diffusion_linear.py:65-131).
+    """
+    lo, hi = xlim
+    base = model.sde.base
+
+    def one_repeat(params, key, y):
+        k1, k2 = jax.random.split(key)
+        x_pred = model.sample(params, k1, y, n_samples_x, num_steps)
+        x_true = problem.sample_posterior(k2, y, n_samples_x)
+
+        # score MSE at t=0 vs analytic posterior score
+        t0 = jnp.zeros((n_samples_x, 1))
+        g0 = base.g(t0)
+        ys_tiled = jnp.broadcast_to(y, (n_samples_x, y.shape[-1]))
+        score_pred = model.apply_a(params, x_true, ys_tiled, t0) / g0
+        score_true = problem.score_posterior(x_true, ys_tiled)
+        mse = jnp.mean(jnp.sum((score_pred - score_true) ** 2, axis=1))
+
+        hist_t = histogramdd_flat(x_true, nbins, lo, hi)
+        hist_p = histogramdd_flat(x_pred, nbins, lo, hi)
+        nll_t = -jnp.mean(problem.posterior_log_prob(x_true, y))
+        nll_p = -jnp.mean(problem.posterior_log_prob(x_pred, y))
+        return hist_t, hist_p, nll_t, nll_p, mse, x_pred, x_true
+
+    @jax.jit
+    def eval_y(params, key, y):
+        keys = jax.random.split(key, n_repeats)
+        hist_t, hist_p, nll_t, nll_p, mse, x_pred, x_true = jax.lax.map(
+            lambda k: one_repeat(params, k, y), keys
+        )
+        kl, kl_rev = kl_pair(jnp.sum(hist_t, 0), jnp.sum(hist_p, 0))
+        return dict(
+            kl=kl,
+            kl_reverse=kl_rev,
+            nll_true=jnp.mean(nll_t),
+            nll_model=jnp.mean(nll_p),
+            mse_score=jnp.mean(mse),
+            x_pred_last=x_pred[-1],
+            x_true_last=x_true[-1],
+        )
+
+    return eval_y
+
+
+def make_eval_y_scatterometry(
+    model: DiffusionModel,
+    forward_model: Callable[[Array], Array],
+    fparams: Dict[str, float],
+    score_posterior_fn,
+    n_samples_x: int,
+    num_steps: int = 200,
+    nbins: int = 75,
+    xlim: Tuple[float, float] = (-1.2, 1.2),
+):
+    """Jitted per-(y, repeat) evaluation against precomputed MCMC GT samples.
+
+    GT arrays come from disk (one per repeat), so the kernel takes one
+    repeat's x_true; the caller accumulates over repeats
+    (reference main_diffusion_scatterometry.py:52-122).
+    """
+    from .problems.scatterometry import get_log_posterior
+
+    lo, hi = xlim
+    base = model.sde.base
+    a, b, lambd_bd = fparams["a"], fparams["b"], fparams["lambd_bd"]
+
+    @jax.jit
+    def eval_y_repeat(params, key, y, x_true):
+        ys_tiled = jnp.broadcast_to(y, (n_samples_x, y.shape[-1]))
+        energy = lambda x: get_log_posterior(
+            x, forward_model, a, b, ys_tiled, lambd_bd
+        )
+        x_pred = model.sample(params, key, y, n_samples_x, num_steps)
+
+        t0 = jnp.zeros((x_true.shape[0], 1))
+        g0 = base.g(t0)
+        score_pred = model.apply_a(params, x_true, ys_tiled, t0) / g0
+        score_true = score_posterior_fn(x_true, ys_tiled)
+        mse = jnp.mean(jnp.sum((score_pred - score_true) ** 2, axis=1))
+
+        hist_t = histogramdd_flat(x_true, nbins, lo, hi)
+        hist_p = histogramdd_flat(x_pred, nbins, lo, hi)
+        nll_t = jnp.sum(energy(x_true)) / n_samples_x
+        nll_p = jnp.sum(energy(x_pred)) / n_samples_x
+        return dict(
+            hist_true=hist_t, hist_model=hist_p, nll_true=nll_t,
+            nll_model=nll_p, mse_score=mse, x_pred=x_pred,
+        )
+
+    return eval_y_repeat
+
+
+# ---------------------------------------------------------------------------
+# Top-level harnesses (results.csv writers)
+# ---------------------------------------------------------------------------
+
+
+def _write_results_csv(path: str, columns: Dict[str, Sequence[float]]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    keys = list(columns.keys())
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([""] + keys)
+        for i in range(len(columns[keys[0]])):
+            w.writerow([i] + [columns[k][i] for k in keys])
+
+
+def evaluate_linear(
+    model: DiffusionModel,
+    params,
+    problem,
+    ys: Array,
+    key: Array,
+    out_dir: Optional[str] = None,
+    plot_ys: Sequence[int] = (),
+    n_samples_x: int = 5000,
+    n_repeats: int = 10,
+    num_steps: int = 200,
+    nbins: int = 75,
+    xlim: Tuple[float, float] = (-3.5, 3.5),
+    verbose: bool = True,
+) -> Tuple[float, float, float]:
+    """Full linear evaluation; returns (mean KL, mean NLPD, mean score-MSE).
+
+    Column layout of results.csv matches the reference
+    (main_diffusion_linear.py:133-135: KL2, NLL_true, NLL_diffusion, MSE).
+    """
+    eval_y = make_eval_y_linear(
+        model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim
+    )
+    kl_vals, nll_true, nll_model, mse_vals = [], [], [], []
+    for i in range(ys.shape[0]):
+        key, k = jax.random.split(key)
+        out = eval_y(params, k, ys[i])
+        kl_vals.append(float(out["kl"]))
+        nll_true.append(float(out["nll_true"]))
+        nll_model.append(float(out["nll_model"]))
+        mse_vals.append(float(out["mse_score"]))
+        if out_dir is not None and i in plot_ys:
+            from .utils.plotting import plot_density
+
+            for tag, arr in (("true", out["x_true_last"]), ("diffusion", out["x_pred_last"])):
+                plot_density(
+                    np.asarray(arr), nbins, limits=xlim, xticks=list(xlim),
+                    size=(12, 12), labelsize=30, show_mean=True,
+                    fname=os.path.join(out_dir, f"posterior-{tag}-{i}.svg"),
+                )
+    kl_arr = np.asarray(kl_vals)
+    nlpd = np.abs(np.asarray(nll_true) - np.asarray(nll_model))
+    if out_dir is not None:
+        _write_results_csv(
+            os.path.join(out_dir, "results.csv"),
+            {
+                "KL2": kl_vals,
+                "NLL_true": nll_true,
+                "NLL_diffusion": nll_model,
+                "MSE": mse_vals,
+            },
+        )
+    if verbose:
+        var = np.sum((kl_arr - kl_arr.mean()) ** 2) / len(kl_arr)
+        print(f"KL2: {kl_arr.mean()} +- {var}")
+    return float(kl_arr.mean()), float(nlpd.mean()), float(np.mean(mse_vals))
+
+
+def evaluate_scatterometry(
+    model: DiffusionModel,
+    params,
+    forward_model,
+    fparams: Dict[str, float],
+    score_posterior_fn,
+    ys: Array,
+    gt_loader: Callable[[int, int], np.ndarray],
+    key: Array,
+    out_dir: Optional[str] = None,
+    plot_ys: Sequence[int] = (),
+    n_samples_x: int = 30000,
+    n_repeats: int = 10,
+    num_steps: int = 200,
+    nbins: int = 75,
+    xlim: Tuple[float, float] = (-1.2, 1.2),
+    verbose: bool = True,
+) -> Tuple[float, float, float]:
+    """Scatterometry evaluation against MCMC ground truth.
+
+    ``gt_loader(i, j)`` returns the (n_samples_x, 3) GT array for condition i,
+    repeat j (reference datasets.get_gt_samples_scatterometry).  Returns
+    (mean KL, mean NLPD, mean score-MSE); results.csv columns match
+    main_diffusion_scatterometry.py:119-121.
+    """
+    eval_yr = make_eval_y_scatterometry(
+        model, forward_model, fparams, score_posterior_fn,
+        n_samples_x, num_steps, nbins, xlim,
+    )
+    kl_vals, kl_rev_vals, nll_true, nll_model, mse_vals = [], [], [], [], []
+    for i in range(ys.shape[0]):
+        hist_t_sum = jnp.zeros(nbins**3, jnp.float32)
+        hist_p_sum = jnp.zeros(nbins**3, jnp.float32)
+        nll_t = nll_p = mse = 0.0
+        last = None
+        for j in range(n_repeats):
+            key, k = jax.random.split(key)
+            x_true = jnp.asarray(gt_loader(i, j), jnp.float32)
+            out = eval_yr(params, k, ys[i], x_true)
+            hist_t_sum = hist_t_sum + out["hist_true"]
+            hist_p_sum = hist_p_sum + out["hist_model"]
+            nll_t += float(out["nll_true"]) / n_repeats
+            nll_p += float(out["nll_model"]) / n_repeats
+            mse += float(out["mse_score"]) / n_repeats
+            last = (x_true, out["x_pred"])
+        kl, kl_rev = kl_pair(hist_t_sum, hist_p_sum)
+        kl_vals.append(float(kl))
+        kl_rev_vals.append(float(kl_rev))
+        nll_true.append(nll_t)
+        nll_model.append(nll_p)
+        mse_vals.append(mse)
+        if out_dir is not None and i in plot_ys and last is not None:
+            from .utils.plotting import plot_density
+
+            for tag, arr in (("mcmc", last[0]), ("diffusion", last[1])):
+                plot_density(
+                    np.asarray(arr), nbins, limits=xlim, xticks=[-1, 0, 1],
+                    size=(12, 12), labelsize=30,
+                    fname=os.path.join(out_dir, f"posterior-{tag}-{i}.svg"),
+                )
+    kl_arr = np.asarray(kl_vals)
+    nlpd = np.abs(np.asarray(nll_model) - np.asarray(nll_true))
+    if out_dir is not None:
+        _write_results_csv(
+            os.path.join(out_dir, "results.csv"),
+            {
+                "KL2": kl_vals,
+                "KL_reverse": kl_rev_vals,
+                "NLL_mcmc": nll_true,
+                "NLL_diffusion": nll_model,
+                "MSE": mse_vals,
+            },
+        )
+    if verbose:
+        var = np.sum((kl_arr - kl_arr.mean()) ** 2) / len(kl_arr)
+        print(f"KL2: {kl_arr.mean()} +- {var}")
+    return float(kl_arr.mean()), float(nlpd.mean()), float(np.mean(mse_vals))

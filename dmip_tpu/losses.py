@@ -1,0 +1,534 @@
+"""Score-matching and Score-Fokker-Planck (PINN) losses, TPU-native.
+
+Re-specifies reference ``losses.py`` functionally.  Where the reference loops
+``torch.autograd.grad`` calls per output dimension (losses.py:14-26) — O(xdim)
+extra backward passes per step — this module composes JAX transforms
+per-sample under ``vmap``:
+
+  * exact divergence:      trace(jacfwd(s))          (xdim in {2,3}: cheap
+                                                      forward-mode tangents)
+  * Hutchinson divergence: v . vjp(s)(v)             (Rademacher/Gaussian)
+  * total ds/dt:           jvp through t -> s(x_t(t), cond, t)/g(t)
+  * outer grad_x:          grad of the per-sample scalar
+                           div(s) + ||s||^2 + x.s    (reverse over forward)
+
+Semantics notes (verified against the reference autograd graph):
+  * ds/dt is the TOTAL derivative: in the reference, t has
+    ``requires_grad=True`` *before* x_t = alpha(t) x0 + sigma(t) eps is drawn
+    (models/diffusion.py:48-58), so gradients flow through x_t(t) and g(t).
+    We reproduce that with the reparametrized :meth:`VPSDE.diffuse`.
+  * grad_x is the PARTIAL derivative w.r.t. x_t at fixed t
+    (losses.py:89-90 takes grad w.r.t. the non-leaf x_t directly).
+  * The DPS likelihood target is detached (torch.autograd.grad with
+    create_graph=False, losses.py:359-366) -> stop_gradient here.
+
+Reference bug fixes (documented divergences, SURVEY.md §2.3):
+  * PINNLoss2 reads the never-initialized ``self.ic_metric``
+    (losses.py:276 vs 250-261); here ``pinn2_loss`` takes ic_metric
+    explicitly with the same 'L1' default as PINNLoss.
+  * The empty-tensor condition sentinel (losses.py:149) is an explicit
+    ``cond=None``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .sde import VPSDE
+
+Array = jax.Array
+
+# A batched drift net: apply_a(params, z, cond_or_None, t) -> (batch, out_dim).
+ApplyFn = Callable[..., Array]
+
+
+# ---------------------------------------------------------------------------
+# Probe sampling + divergence estimators (reference losses.py:7-40)
+# ---------------------------------------------------------------------------
+
+
+def rademacher_like(key: Array, shape, dtype=jnp.float32) -> Array:
+    """+/-1 probes (reference losses.py:7-11)."""
+    return jax.random.rademacher(key, shape, dtype)
+
+
+def divergence_exact(s_fn: Callable[[Array], Array], x: Array) -> Array:
+    """Exact divergence of a per-sample vector field s: R^d -> R^d at x.
+
+    Replaces the reference's per-dim autograd loop (losses.py:14-18) with a
+    single forward-mode Jacobian — exact, and O(d) JVPs instead of O(d) VJPs.
+    """
+    return jnp.trace(jax.jacfwd(s_fn)(x))
+
+
+def divergence_hutchinson(
+    s_fn: Callable[[Array], Array], x: Array, v: Array
+) -> Array:
+    """Hutchinson estimate v . (J_s(x)^T v) with a fixed probe v.
+
+    Matches div_estimator (losses.py:28-40) with num_samples=1: the reference
+    contracts the VJP with the probe.
+    """
+    _, vjp = jax.vjp(s_fn, x)
+    return jnp.dot(vjp(v)[0], v)
+
+
+# ---------------------------------------------------------------------------
+# DSM loss (reference losses.py:42-52)
+# ---------------------------------------------------------------------------
+
+
+def dsm_loss(score: Array, std: Array, target: Array) -> Array:
+    """Per-sample denoising score matching: ||s * std + eps||^2 / 2."""
+    batch = score.shape[0]
+    return 0.5 * jnp.sum((score * std + target) ** 2, axis=tuple(range(1, score.ndim)))
+
+
+# ---------------------------------------------------------------------------
+# Per-sample score closures
+# ---------------------------------------------------------------------------
+
+
+class ScoreFns(NamedTuple):
+    """Per-sample closures around the drift net for one (z0, eps, cond, t).
+
+    s_of_x(z)  : score at state z, time held fixed              (for div/grad_x)
+    s_of_t(t') : score along the diffusion path z_t(t'), total  (for ds/dt)
+    """
+
+    s_of_x: Callable[[Array], Array]
+    s_of_t: Callable[[Array], Array]
+
+
+def make_score_fns(
+    apply_a: ApplyFn,
+    params,
+    base_sde: VPSDE,
+    z0_i: Array,
+    eps_i: Array,
+    cond_i: Optional[Array],
+    t_i: Array,
+) -> ScoreFns:
+    """Build the two views of the learned score for a single sample.
+
+    The net predicts g * score (the reference's parametrization,
+    losses.py:151), hence the division by g(t).
+    """
+
+    def _a(z: Array, t: Array) -> Array:
+        c = None if cond_i is None else cond_i[None]
+        return apply_a(params, z[None], c, t)[0]
+
+    def s_of_x(z: Array) -> Array:
+        return _a(z, t_i) / base_sde.g(t_i)
+
+    def s_of_t(t: Array) -> Array:
+        z_t = base_sde.diffuse(t, z0_i, eps_i)
+        return _a(z_t, t) / base_sde.g(t)
+
+    return ScoreFns(s_of_x, s_of_t)
+
+
+def _ds_dt(fns: ScoreFns, t_i: Array) -> Array:
+    """Total derivative ds/dt via one JVP (reference batch_gradient, losses.py:20-26)."""
+    _, tangent = jax.jvp(fns.s_of_t, (t_i,), (jnp.ones_like(t_i),))
+    return tangent
+
+
+# ---------------------------------------------------------------------------
+# ScoreFPE loss (reference losses.py:55-98)
+# ---------------------------------------------------------------------------
+
+
+def _score_fpe_residual(
+    fns: ScoreFns,
+    z_t: Array,
+    t_i: Array,
+    beta_i: Array,
+    v_i: Optional[Array],
+) -> Array:
+    """Per-sample ScoreFPE residual ds/dt - beta/2 * grad_x(div s + ||s||^2 + x.s)."""
+
+    def h(z: Array) -> Array:
+        s = fns.s_of_x(z)
+        if v_i is None:
+            div = divergence_exact(fns.s_of_x, z)
+        else:
+            div = divergence_hutchinson(fns.s_of_x, z, v_i)
+        return div + jnp.sum(s**2) + jnp.dot(z, s)
+
+    grad_x = jax.grad(h)(z_t)
+    return _ds_dt(fns, t_i) - 0.5 * beta_i * grad_x
+
+
+def _reduce_metric(res: Array, metric: str) -> Array:
+    if metric == "L1":
+        return jnp.mean(jnp.abs(res))
+    if metric == "L2":
+        return jnp.mean(res**2)
+    raise ValueError(f"metric must be 'L1' or 'L2', got {metric!r}")
+
+
+def score_fpe_loss(
+    apply_a: ApplyFn,
+    params,
+    base_sde: VPSDE,
+    z0: Array,
+    eps: Array,
+    cond: Optional[Array],
+    t: Array,
+    *,
+    metric: str = "L1",
+    divergence_method: str = "exact",
+    probe_key: Optional[Array] = None,
+    vtype: str = "rademacher",
+) -> Array:
+    """Batched ScoreFPE PDE loss, per-sample values of shape (batch,).
+
+    Reference ScoreFPELoss.forward (losses.py:77-98); the metric reduces the
+    residual with a per-sample MEAN over dimensions (losses.py:92-95).
+    """
+    if metric not in ("L1", "L2"):
+        raise ValueError(f"metric must be 'L1' or 'L2', got {metric!r}")
+    batch = z0.shape[0]
+    t_flat = t.reshape(batch)
+    beta = base_sde.beta(t_flat)
+    z_t = base_sde.diffuse(t, z0, eps)
+
+    if divergence_method == "exact":
+        v = None
+    elif divergence_method in ("hutchinson", "approx", "approximate"):
+        if probe_key is None:
+            raise ValueError("hutchinson divergence requires probe_key")
+        if vtype == "rademacher":
+            v = rademacher_like(probe_key, z0.shape, z0.dtype)
+        else:
+            v = jax.random.normal(probe_key, z0.shape, z0.dtype)
+    else:
+        raise ValueError(
+            "divergence_method must be one of 'exact', 'hutchinson', 'approx', "
+            f"'approximate'; got {divergence_method!r}"
+        )
+
+    def per_sample(z0_i, eps_i, cond_i, z_t_i, t_i, beta_i, v_i):
+        fns = make_score_fns(apply_a, params, base_sde, z0_i, eps_i, cond_i, t_i)
+        res = _score_fpe_residual(fns, z_t_i, t_i, beta_i, v_i)
+        return _reduce_metric(res, metric)
+
+    in_axes = (0, 0, None if cond is None else 0, 0, 0, 0, None if v is None else 0)
+    return jax.vmap(per_sample, in_axes=in_axes)(z0, eps, cond, z_t, t_flat, beta, v)
+
+
+# ---------------------------------------------------------------------------
+# Conditional ScoreFPE (closed-form) loss (reference losses.py:100-124)
+# ---------------------------------------------------------------------------
+
+
+def cscore_fpe_loss(
+    apply_a: ApplyFn,
+    params,
+    base_sde: VPSDE,
+    z0: Array,
+    eps: Array,
+    cond: Optional[Array],
+    t: Array,
+    *,
+    metric: str = "L2",
+) -> Array:
+    """cScoreFPE: per-sample SUM over dims of |std^3 ds/dt - eps beta alpha^2 / 2|^p.
+
+    Reference ConditionalScoreFPELoss.forward (losses.py:116-124); note the
+    reduction is a SUM (vs the ScoreFPE MEAN).
+    """
+    if metric not in ("L1", "L2"):
+        raise ValueError(f"metric must be 'L1' or 'L2', got {metric!r}")
+    batch = z0.shape[0]
+    t_flat = t.reshape(batch)
+
+    def per_sample(z0_i, eps_i, cond_i, t_i):
+        fns = make_score_fns(apply_a, params, base_sde, z0_i, eps_i, cond_i, t_i)
+        ds_dt = _ds_dt(fns, t_i)
+        alpha = base_sde.mean_weight(t_i)
+        beta = base_sde.beta(t_i)
+        std = base_sde.std(t_i)
+        u = 0.5 * eps_i * beta * alpha**2
+        res = std**3 * ds_dt - u
+        if metric == "L2":
+            return jnp.sum(res**2)
+        return jnp.sum(jnp.abs(res))
+
+    in_axes = (0, 0, None if cond is None else 0, 0)
+    return jax.vmap(per_sample, in_axes=in_axes)(z0, eps, cond, t_flat)
+
+
+# ---------------------------------------------------------------------------
+# Composite losses.  Common batched interface:
+#   loss(apply_a, params, base_sde, x, y, z0, eps, t, std, g, key)
+#     -> (scalar, info dict)
+# where z0 is the state being diffused (x for CDE; [x, y] for CDiffE) and the
+# condition passed to the net is y for CDE or None for CDiffE (detected by
+# shape, mirroring losses.py:145-149).
+# ---------------------------------------------------------------------------
+
+
+def _cond_for(z0: Array, x: Array, y: Array) -> Optional[Array]:
+    return y if z0.shape[-1] == x.shape[-1] else None
+
+
+def _batched_score(apply_a, params, base_sde, z_t, cond, t):
+    return apply_a(params, z_t, cond, t) / base_sde.g(t)
+
+
+def _pde_term(
+    pde_loss: str,
+    pde_metric: str,
+    divergence_method: str,
+    apply_a,
+    params,
+    base_sde,
+    z0,
+    eps,
+    cond,
+    t,
+    probe_key,
+):
+    if pde_loss == "cScoreFPE":
+        return cscore_fpe_loss(
+            apply_a, params, base_sde, z0, eps, cond, t, metric=pde_metric
+        )
+    return score_fpe_loss(
+        apply_a,
+        params,
+        base_sde,
+        z0,
+        eps,
+        cond,
+        t,
+        metric=pde_metric,
+        divergence_method=divergence_method,
+        probe_key=probe_key,
+    )
+
+
+def dsm_pde_loss(
+    apply_a: ApplyFn,
+    params,
+    base_sde: VPSDE,
+    x: Array,
+    y: Array,
+    z0: Array,
+    eps: Array,
+    t: Array,
+    *,
+    lam: float = 1.0,
+    pde_loss: str = "FPE",
+    pde_metric: str = "L1",
+    divergence_method: str = "exact",
+    probe_key: Optional[Array] = None,
+):
+    """DSM + lam * PDE (Lai et al. 2023); reference DSM_PDELoss (losses.py:126-164)."""
+    cond = _cond_for(z0, x, y)
+    z_t = base_sde.diffuse(t, z0, eps)
+    std = base_sde.std(t)
+    score = _batched_score(apply_a, params, base_sde, z_t, cond, t)
+    dsm = dsm_loss(score, std, eps)
+    pde = lam * _pde_term(
+        pde_loss, pde_metric, divergence_method,
+        apply_a, params, base_sde, z0, eps, cond, t, probe_key,
+    )
+    loss = jnp.mean(dsm + pde)
+    return loss, {"PDE-Loss": jnp.mean(pde), "DSM-Loss": jnp.mean(dsm)}
+
+
+def _ic_term(
+    apply_a, params, base_sde, x, y, initial_condition, ic_metric, lam2, xdim
+):
+    """lam2 * |s_0[:, :xdim] - score_post(x, y)|  (reference losses.py:221-230).
+
+    s_0 = a(x, y, 0) / g(0): the IC always concatenates the CLEAN (x, y) —
+    for CDiffE this feeds [x, y] through the joint net, matching the
+    reference's dimensional pun at losses.py:223.
+    """
+    batch = x.shape[0]
+    t0 = jnp.zeros((batch, 1), x.dtype)
+    g0 = base_sde.g(t0)
+    s0 = apply_a(params, x, y, t0) / g0
+    ic = s0[:, :xdim] - initial_condition(x, y)
+    if ic_metric == "L2":
+        return lam2 * jnp.mean(ic**2, axis=1)
+    if ic_metric == "L1":
+        return lam2 * jnp.mean(jnp.abs(ic), axis=1)
+    raise ValueError(f"ic_metric must be 'L1' or 'L2', got {ic_metric!r}")
+
+
+def pinn_loss(
+    apply_a: ApplyFn,
+    params,
+    base_sde: VPSDE,
+    x: Array,
+    y: Array,
+    z0: Array,
+    eps: Array,
+    t: Array,
+    *,
+    initial_condition: Callable[[Array, Array], Array],
+    lam: float = 1.0,
+    lam2: float = 1.0,
+    pde_loss: str = "FPE",
+    ic_metric: str = "L1",
+    pde_metric: str = "L1",
+    divergence_method: str = "exact",
+    probe_key: Optional[Array] = None,
+):
+    """PINN objective mean(DSM + lam2*IC + lam*PDE); reference losses.py:168-242."""
+    cond = _cond_for(z0, x, y)
+    xdim = x.shape[-1]
+    z_t = base_sde.diffuse(t, z0, eps)
+    std = base_sde.std(t)
+
+    ic = _ic_term(
+        apply_a, params, base_sde, x, y, initial_condition, ic_metric, lam2, xdim
+    )
+    score = _batched_score(apply_a, params, base_sde, z_t, cond, t)
+    dsm = dsm_loss(score, std, eps)
+    pde = lam * _pde_term(
+        pde_loss, pde_metric, divergence_method,
+        apply_a, params, base_sde, z0, eps, cond, t, probe_key,
+    )
+    loss = jnp.mean(dsm + ic + pde)
+    info = {
+        "PDE-Loss": jnp.mean(pde),
+        "Initial Condition": jnp.mean(ic),
+        "DSM-Loss": jnp.mean(dsm),
+    }
+    return loss, info
+
+
+def pinn2_loss(
+    apply_a: ApplyFn,
+    params,
+    base_sde: VPSDE,
+    x: Array,
+    y: Array,
+    z0: Array,
+    eps: Array,
+    t: Array,
+    *,
+    initial_condition: Callable[[Array, Array], Array],
+    lam: float = 1.0,
+    lam2: float = 1.0,
+    pde_loss: str = "FPE",
+    ic_metric: str = "L1",
+    pde_metric: str = "L1",
+    divergence_method: str = "exact",
+    probe_key: Optional[Array] = None,
+):
+    """PINN without the DSM data term: mean(IC + lam*PDE); DSM logged only.
+
+    Reference PINNLoss2 (losses.py:245-291).  Fixes the reference's
+    uninitialized ``ic_metric`` attribute (SURVEY.md §2.3.3) by taking it as
+    an explicit argument defaulting to 'L1'.
+    """
+    cond = _cond_for(z0, x, y)
+    xdim = x.shape[-1]
+    z_t = base_sde.diffuse(t, z0, eps)
+    std = base_sde.std(t)
+
+    ic = _ic_term(
+        apply_a, params, base_sde, x, y, initial_condition, ic_metric, lam2, xdim
+    )
+    pde = lam * _pde_term(
+        pde_loss, pde_metric, divergence_method,
+        apply_a, params, base_sde, z0, eps, cond, t, probe_key,
+    )
+    score = _batched_score(apply_a, params, base_sde, z_t, cond, t)
+    dsm_eval = dsm_loss(score, std, eps)
+    loss = jnp.mean(ic + pde)
+    info = {
+        "PDE-Loss": jnp.mean(pde),
+        "Initial Condition": jnp.mean(ic),
+        "DSM_eval": jnp.mean(dsm_eval),
+    }
+    return loss, info
+
+
+# ---------------------------------------------------------------------------
+# DPS-style PosteriorLoss (reference losses.py:293-386)
+# ---------------------------------------------------------------------------
+
+
+def posterior_loss(
+    prior_apply: Callable[..., Array],
+    likelihood_apply: Callable[..., Array],
+    prior_params,
+    likelihood_params,
+    base_sde: VPSDE,
+    forward_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    eps: Array,
+    t: Array,
+    *,
+    a: float,
+    b: float,
+    lam: float,
+):
+    """Joint prior+likelihood score training (Chung & Kim et al.).
+
+    prior_apply(params, x, t) and likelihood_apply(params, x, y, t) are the
+    batched nets; forward_fn maps a single x (xdim,) -> (ydim,) (the frozen
+    scatterometry surrogate).  The likelihood target — 3 VJPs through the
+    surrogate at the Tweedie estimate x_0 plus 3 VHPs through the prior net —
+    is detached, matching create_graph=False in the reference
+    (losses.py:349-371).
+    """
+    batch = x.shape[0]
+    t_flat = t.reshape(batch)
+    x_t = base_sde.diffuse(t, x, eps)
+    std = base_sde.std(t)
+    alpha = base_sde.mean_weight(t)
+
+    s_prior = prior_apply(prior_params, x_t, t)
+    s_likelihood = likelihood_apply(likelihood_params, x_t, y, t)
+    prior = dsm_loss(s_prior, std, eps)
+
+    # Tweedie mean of p(x_0 | x_t)  (reference losses.py:381)
+    x_0 = (x_t + std**2 * s_prior) / alpha
+
+    def per_sample_target(x0_i, y_i, xt_i, t_i, sigma_i):
+        f_x, vjp_f = jax.vjp(forward_fn, x0_i)
+        prefactor = (a * f_x) ** 2 + b**2
+        v1 = f_x / prefactor
+        v2 = (y_i - f_x) / prefactor
+        v3 = (y_i - f_x) ** 2 * f_x / prefactor
+        vjp1, vjp2, vjp3 = vjp_f(v1)[0], vjp_f(v2)[0], vjp_f(v3)[0]
+
+        def s_fn(xt):
+            return prior_apply(prior_params, xt[None], t_i)[0]
+
+        _, vjp_s = jax.vjp(s_fn, xt_i)
+        vhp1, vhp2, vhp3 = vjp_s(vjp1)[0], vjp_s(vjp2)[0], vjp_s(vjp3)[0]
+        sig2 = sigma_i**2
+        return (
+            -(a**2) * (sig2 * vhp1 + vjp1)
+            + sig2 * vhp2
+            + vjp2
+            + a**2 * (sig2 * vhp3 + vjp3)
+        )
+
+    target = jax.vmap(per_sample_target)(
+        x_0, y, x_t, t_flat, std.reshape(batch)
+    )
+    target = jax.lax.stop_gradient(target)
+
+    likelihood = jnp.sum((alpha * s_likelihood - target) ** 2, axis=1)
+    loss = jnp.mean(prior + lam * likelihood)
+    info = {
+        "PriorLoss": jnp.mean(prior),
+        "LikelihoodLoss": lam * jnp.mean(likelihood),
+    }
+    return loss, info

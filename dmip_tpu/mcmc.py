@@ -1,0 +1,133 @@
+"""MCMC kernels: Metropolis-Hastings, MALA, and unadjusted Langevin.
+
+TPU-native re-specification of the reference's stochastic-layer kernels
+(models/SNF.py:234-300: ``energy_grad``, ``anneal_to_energy``,
+``langevin_step``).  Each kernel is a branchless ``lax.scan`` over steps with
+all chains advanced in parallel (vmap-free: energies are batched), suitable
+for jit + sharding over chains/conditions.  This also powers the ground-truth
+generator (generate_scatterometry_ground_truth.py:26-63), replacing joblib
+CPU fan-out with device-sharded chains.
+
+An ``energy`` is a batched callable (n, d) -> (n,) returning the NEGATIVE log
+density (the reference's convention: get_log_posterior returns -log p).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+EnergyFn = Callable[[Array], Array]
+
+
+def energy_grad(x: Array, energy: EnergyFn) -> Tuple[Array, Array]:
+    """(grad of energy, energy) at x — reference models/SNF.py:234-237."""
+    e, grad = jax.value_and_grad(lambda z: jnp.sum(energy(z)))(x)
+    return grad, energy(x)
+
+
+def _energy_with_grad(x: Array, energy: EnergyFn) -> Tuple[Array, Array]:
+    e = energy(x)
+    grad = jax.grad(lambda z: jnp.sum(energy(z)))(x)
+    return grad, e
+
+
+def langevin_step(
+    key: Array,
+    x: Array,
+    stepsize: float,
+    energy: EnergyFn,
+    lang_steps: int,
+    beta: float = 1.0,
+) -> Tuple[Array, Array, Array, Array]:
+    """Unadjusted Langevin trajectory with proposal log-det accumulation.
+
+    Mirrors models/SNF.py:286-300.  Returns (x_final, log_det, energy at the
+    initial point, energy at the final point); log_det is the accumulated
+    0.5 * (eta^2 - eta_tilde^2) forward/backward noise correction used by the
+    MALA acceptance ratio and the SNF Langevin layer.
+    """
+    scale = jnp.sqrt(2.0 * stepsize / beta)
+
+    def body(carry, k):
+        x, log_det, e_first, first = carry
+        eta = jax.random.normal(k, x.shape, x.dtype)
+        grad_x, e_x = _energy_with_grad(x, energy)
+        e_first = jnp.where(first, e_x, e_first)
+        y = x - stepsize * grad_x + scale * eta
+        grad_y, e_y = _energy_with_grad(y, energy)
+        eta_back = (x - y + stepsize * grad_y) / scale
+        log_det = log_det + 0.5 * jnp.sum(eta**2 - eta_back**2, axis=1)
+        return (y, log_det, e_first, jnp.zeros_like(first)), e_y
+
+    keys = jax.random.split(key, lang_steps)
+    init = (
+        x,
+        jnp.zeros(x.shape[0], x.dtype),
+        jnp.zeros(x.shape[0], x.dtype),
+        jnp.ones((), bool),
+    )
+    (x_out, log_det, e_first, _), e_ys = jax.lax.scan(body, init, keys)
+    return x_out, log_det, e_first, e_ys[-1]
+
+
+def anneal_to_energy(
+    key: Array,
+    x_curr: Array,
+    energy: EnergyFn,
+    metr_steps_per_block: int,
+    noise_std: float = 0.1,
+    langevin_prop: bool = False,
+    lang_steps: int | None = None,
+    stepsize: float | None = None,
+) -> Tuple[Array, Array]:
+    """Metropolis-Hastings annealing to ``energy`` — models/SNF.py:250-275.
+
+    Gaussian random-walk proposals by default; Langevin (MALA) proposals when
+    ``langevin_prop``.  Returns (x_final, e_final - e_initial) where e_final
+    is the blended accepted/rejected energy of the LAST step (the reference's
+    'logdet' for the SNF stochastic layers).
+    """
+    e0 = energy(x_curr)
+
+    def step(carry, k):
+        x, _ = carry
+        if langevin_prop:
+            kl, ka = jax.random.split(k)
+            x_prop, log_det, e_curr, e_prop = langevin_step(
+                kl, x, stepsize, energy, lang_steps
+            )
+            log_ratio = -e_prop + e_curr + log_det
+        else:
+            kn, ka = jax.random.split(k)
+            noise = noise_std * jax.random.normal(kn, x.shape, x.dtype)
+            x_prop = x + noise
+            e_prop = energy(x_prop)
+            e_curr = energy(x)
+            log_ratio = -e_prop + e_curr
+        # r < exp(log_ratio), branchless (reference models/SNF.py:263-269)
+        r = jax.random.uniform(ka, e_prop.shape, x.dtype)
+        acc = (r < jnp.exp(log_ratio)).astype(x.dtype)
+        x_next = (1.0 - acc)[:, None] * x + acc[:, None] * x_prop
+        e_next = (1.0 - acc) * e_curr + acc * e_prop
+        return (x_next, e_next), None
+
+    keys = jax.random.split(key, metr_steps_per_block)
+    (x_out, e_out), _ = jax.lax.scan(step, (x_curr, e0), keys)
+    return x_out, e_out - e0
+
+
+def interpolated_energy(
+    ys: Array, lambd: float, neg_log_posterior: Callable[[Array, Array], Array]
+) -> EnergyFn:
+    """lambd * (-log p(x|y)) + (1 - lambd) * ||x||^2 / 2 — models/SNF.py:220-231."""
+    if lambd == 0.0:
+        return lambda x: 0.5 * jnp.sum(x**2, axis=1)
+    if lambd == 1.0:
+        return lambda x: neg_log_posterior(x, ys)
+    return lambda x: lambd * neg_log_posterior(x, ys) + (1.0 - lambd) * 0.5 * jnp.sum(
+        x**2, axis=1
+    )

@@ -1,0 +1,248 @@
+"""Score-based diffusion models for inverse problems (CDE / CDiffE / DPS).
+
+TPU-native re-specification of reference ``models/diffusion.py``:
+
+  * :class:`CDE` — Conditional Denoising Estimator (models/diffusion.py:60-105)
+  * :class:`CDiffE` — Conditional Diffusive Estimator, diffusing the joint
+    z = [x, y] (models/diffusion.py:109-180)
+  * :class:`PosteriorDiffusionEstimator` — DPS-style split prior/likelihood
+    score (models/diffusion.py:182-229)
+
+Design: a model is a frozen static dataclass (architecture + SDE config);
+parameters live in a separate pytree.  Training is a pure jitted step
+(``make_train_step``) — the reference's per-batch Python loop with
+``optimizer.zero_grad()/backward()/step()`` becomes ``value_and_grad`` +
+optax inside ``lax.scan`` over an epoch's minibatches (see
+:mod:`dmip_tpu.train`).  Posterior sampling is the scan-based Euler-Maruyama
+kernel of :mod:`dmip_tpu.samplers`, vmappable over conditions and shardable
+over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import losses as L
+from .. import nets, samplers
+from ..sde import ReverseSDE, VPSDE, sample_t
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Which training objective to use; mirrors utils.get_model_from_args.
+
+    name in {'DSM', 'PINNLoss', 'PINNLoss2', 'DSM_PDE', 'PosteriorLoss'}
+    (reference utils.py:34-47).
+    """
+
+    name: str = "DSM"
+    lam: float = 1.0
+    lam2: float = 1.0
+    pde_loss: str = "FPE"  # 'FPE' | 'cScoreFPE'
+    pde_metric: str = "L1"
+    ic_metric: str = "L1"
+    divergence_method: str = "exact"
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionModel:
+    """Abstract base (reference BaseClassDiffusionModel, models/diffusion.py:14-58)."""
+
+    xdim: int
+    ydim: int
+    hidden_layers: Tuple[int, ...] = (512, 512, 512)
+    sde: ReverseSDE = dataclasses.field(default_factory=ReverseSDE)
+
+    # -- architecture ------------------------------------------------------
+    @property
+    def net_in(self) -> int:
+        return self.xdim + self.ydim + 1
+
+    @property
+    def net_out(self) -> int:
+        return self.xdim
+
+    def init(self, key: Array):
+        return nets.mlp_init(key, self.net_in, self.net_out, self.hidden_layers)
+
+    def apply_a(self, params, z: Array, cond: Optional[Array], t: Array) -> Array:
+        """Learned drift a(z, cond, t); the net predicts g * score."""
+        return nets.score_mlp_apply(params, z, cond, t)
+
+    # -- training-time state plumbing -------------------------------------
+    def diffusion_state(self, x: Array, y: Array):
+        """(z0, cond) for this model family: what gets diffused and what
+        conditions the net.  CDE diffuses x conditioned on y."""
+        return x, y
+
+    # -- loss --------------------------------------------------------------
+    def make_loss_fn(
+        self,
+        cfg: LossConfig,
+        initial_condition: Optional[Callable[[Array, Array], Array]] = None,
+        forward_model: Optional[Callable[[Array], Array]] = None,
+        forward_params: Optional[Dict[str, float]] = None,
+    ):
+        """Build loss(params, key, x, y) -> (scalar, info dict).
+
+        Dispatch mirrors CDE.train_epoch (models/diffusion.py:83-88) +
+        utils.get_model_from_args (utils.py:34-47).
+        """
+        base = self.sde.base
+
+        def loss_fn(params, key: Array, x: Array, y: Array):
+            z0, cond_y = self.diffusion_state(x, y)
+            kt, keps, kprobe = jax.random.split(key, 3)
+            t = sample_t(self.sde, kt, z0.shape[0])
+            eps = jax.random.normal(keps, z0.shape, z0.dtype)
+
+            if cfg.name == "DSM":
+                z_t = base.diffuse(t, z0, eps)
+                std = base.std(t)
+                g = base.g(t)
+                cond = cond_y if z0.shape[-1] == x.shape[-1] else None
+                score = self.apply_a(params, z_t, cond, t) / g
+                return jnp.mean(L.dsm_loss(score, std, eps)), {}
+            if cfg.name == "DSM_PDE":
+                return L.dsm_pde_loss(
+                    self.apply_a, params, base, x, y, z0, eps, t,
+                    lam=cfg.lam, pde_loss=cfg.pde_loss, pde_metric=cfg.pde_metric,
+                    divergence_method=cfg.divergence_method, probe_key=kprobe,
+                )
+            if cfg.name == "PINNLoss":
+                return L.pinn_loss(
+                    self.apply_a, params, base, x, y, z0, eps, t,
+                    initial_condition=initial_condition,
+                    lam=cfg.lam, lam2=cfg.lam2, pde_loss=cfg.pde_loss,
+                    ic_metric=cfg.ic_metric, pde_metric=cfg.pde_metric,
+                    divergence_method=cfg.divergence_method, probe_key=kprobe,
+                )
+            if cfg.name == "PINNLoss2":
+                return L.pinn2_loss(
+                    self.apply_a, params, base, x, y, z0, eps, t,
+                    initial_condition=initial_condition,
+                    lam=cfg.lam, lam2=cfg.lam2, pde_loss=cfg.pde_loss,
+                    ic_metric=cfg.ic_metric, pde_metric=cfg.pde_metric,
+                    divergence_method=cfg.divergence_method, probe_key=kprobe,
+                )
+            raise ValueError(f"unsupported loss {cfg.name!r} for {type(self).__name__}")
+
+        return loss_fn
+
+    # -- sampling ----------------------------------------------------------
+    def sample(
+        self,
+        params,
+        key: Array,
+        y: Optional[Array],
+        num_samples: int = 2000,
+        num_steps: int = 200,
+        mean: float = 0.0,
+        std: float = 1.0,
+        dtype=jnp.float32,
+    ) -> Array:
+        """Euler-Maruyama posterior sampler (models/diffusion.py:27-46)."""
+        drift = lambda z, c, s: self.apply_a(params, z, c, s)
+        return samplers.euler_maruyama(
+            self.sde, drift, key, y, num_samples, self.xdim, num_steps,
+            mean=mean, std=std, dtype=dtype,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CDE(DiffusionModel):
+    """Conditional Denoising Estimator: score net on [x, y, t] -> xdim."""
+
+
+@dataclasses.dataclass(frozen=True)
+class CDiffE(DiffusionModel):
+    """Conditional Diffusive Estimator: diffuses the joint z = [x, y].
+
+    Net maps [z, t] -> xdim + ydim (models/diffusion.py:109-121); the loss
+    path receives cond=None because the condition is part of the diffused
+    state (losses.py:149's empty-tensor sentinel, made explicit).
+    """
+
+    @property
+    def net_out(self) -> int:
+        return self.xdim + self.ydim
+
+    def diffusion_state(self, x: Array, y: Array):
+        return jnp.concatenate([x, y], axis=1), y
+
+    def sample(
+        self,
+        params,
+        key: Array,
+        y: Array,
+        num_samples: int = 2000,
+        num_steps: int = 200,
+        mean: float = 0.0,
+        std: float = 1.0,
+        dtype=jnp.float32,
+    ) -> Array:
+        drift = lambda z, c, s: self.apply_a(params, z, c, s)
+        return samplers.euler_maruyama_cdiffe(
+            self.sde, drift, key, y, num_samples, self.xdim, num_steps,
+            mean=mean, std=std, dtype=dtype,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PosteriorDiffusionEstimator(DiffusionModel):
+    """DPS model: prior net (x,t) + likelihood net (x,y,t), scores summed.
+
+    Reference models/diffusion.py:182-229 + nets.PosteriorScore.  Params is a
+    dict {'prior': mlp, 'likelihood': mlp}; the composed drift multiplies the
+    summed scores by g(t) (nets.py:155-157).
+    """
+
+    def init(self, key: Array):
+        kp, kl = jax.random.split(key)
+        prior = nets.mlp_init(kp, self.xdim + 1, self.xdim, self.hidden_layers)
+        lik = nets.mlp_init(
+            kl, self.xdim + self.ydim + 1, self.xdim, self.hidden_layers
+        )
+        return {"prior": prior, "likelihood": lik}
+
+    def apply_a(self, params, z: Array, cond: Optional[Array], t: Array) -> Array:
+        return nets.posterior_score_apply(
+            params["prior"], params["likelihood"], self.sde.base.g, z, cond, t
+        )
+
+    def make_loss_fn(
+        self,
+        cfg: LossConfig,
+        initial_condition=None,
+        forward_model=None,
+        forward_params=None,
+    ):
+        if forward_model is None or forward_params is None:
+            raise ValueError("PosteriorDiffusionEstimator requires the forward model")
+        base = self.sde.base
+        a, b = forward_params["a"], forward_params["b"]
+
+        def prior_apply(pp, x, t):
+            return nets.prior_mlp_apply(pp, x, t)
+
+        def likelihood_apply(lp, x, y, t):
+            return nets.score_mlp_apply(lp, x, y, t)
+
+        def loss_fn(params, key: Array, x: Array, y: Array):
+            kt, keps = jax.random.split(key)
+            t = sample_t(self.sde, kt, x.shape[0])
+            eps = jax.random.normal(keps, x.shape, x.dtype)
+            return L.posterior_loss(
+                prior_apply, likelihood_apply,
+                params["prior"], params["likelihood"],
+                base, forward_model, x, y, eps, t,
+                a=a, b=b, lam=cfg.lam,
+            )
+
+        return loss_fn

@@ -1,0 +1,6 @@
+from .mesh import (
+    batch_sharding,
+    get_mesh,
+    replicate,
+    shard_batch,
+)

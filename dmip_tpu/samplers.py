@@ -1,0 +1,132 @@
+"""Reverse-SDE posterior samplers: jitted Euler-Maruyama scan kernels.
+
+The reference's inference hot path (models/diffusion.py:27-46) is a Python
+loop moving one condition y at a time: 200 steps x 30k-sample batches of the
+score MLP.  Here the whole sampler is one ``lax.scan`` under ``jit``, vmapped
+over conditions and shardable over a device mesh along the condition/sample
+axes — the north-star workload of SURVEY.md §3.2.
+
+Time grid parity: the reference uses ts[i] = i/num_steps * T for
+i = 0..num_steps-1 and step size delta = T/num_steps, updating
+x <- x + delta * mu(t_i, x, y) + sqrt(delta) * sigma(t_i) * xi.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .sde import ReverseSDE
+
+Array = jax.Array
+
+
+def euler_maruyama(
+    sde: ReverseSDE,
+    drift_a: Callable[[Array, Optional[Array], Array], Array],
+    key: Array,
+    y: Optional[Array],
+    num_samples: int,
+    xdim: int,
+    num_steps: int = 200,
+    mean: float = 0.0,
+    std: float = 1.0,
+    lmbd: float = 0.0,
+    dtype=jnp.float32,
+) -> Array:
+    """Integrate the plug-in reverse SDE from x0 ~ N(mean, std^2).
+
+    drift_a(x, cond, s) is the learned drift (params already closed over);
+    ``y`` of shape (ydim,) is tiled over the sample batch (reference
+    models/diffusion.py:29-30), or None for unconditional sampling.
+    Returns (num_samples, xdim).
+    """
+    k0, kscan = jax.random.split(key)
+    x0 = jax.random.normal(k0, (num_samples, xdim), dtype) * std + mean
+    cond = None
+    if y is not None:
+        cond = jnp.broadcast_to(y.astype(dtype), (num_samples, y.shape[-1]))
+    delta = sde.T / num_steps
+    ts = (jnp.arange(num_steps, dtype=dtype) / num_steps) * sde.T
+
+    def step(x, inp):
+        t_i, k = inp
+        t_col = jnp.full((num_samples, 1), t_i, dtype)
+        mu = sde.mu(lambda xx, cc, ss: drift_a(xx, cc, ss), t_col, x, cond, lmbd)
+        sigma = sde.sigma(t_col, lmbd)
+        noise = jax.random.normal(k, x.shape, dtype)
+        return x + delta * mu + jnp.sqrt(delta) * sigma * noise, None
+
+    keys = jax.random.split(kscan, num_steps)
+    x_final, _ = jax.lax.scan(step, x0, (ts, keys))
+    return x_final
+
+
+def euler_maruyama_cdiffe(
+    sde: ReverseSDE,
+    drift_a: Callable[[Array, Optional[Array], Array], Array],
+    key: Array,
+    y: Array,
+    num_samples: int,
+    xdim: int,
+    num_steps: int = 200,
+    mean: float = 0.0,
+    std: float = 1.0,
+    lmbd: float = 0.0,
+    dtype=jnp.float32,
+) -> Array:
+    """CDiffE sampler: joint-state reverse SDE with re-diffused condition.
+
+    Mirrors CDiffE.forward (models/diffusion.py:158-180): each step diffuses
+    the OBSERVED y forward to time T - t_i, concatenates [x_t, y_t], and takes
+    an unconditional joint reverse step, keeping only the x block.
+
+    Fixes reference bug SURVEY.md §2.3.1: the reference calls the 3-arg
+    ``mu(t, z_t)`` without its cond argument and crashes; the intended
+    semantics (commented-out 2-arg mu, sdes.py:81-83) is the unconditional
+    joint drift a(z_t, T-t) — realized here with cond=None.
+    """
+    k0, kdiff, kscan = jax.random.split(key, 3)
+    ydim = y.shape[-1]
+    x0 = jax.random.normal(k0, (num_samples, xdim), dtype) * std + mean
+    inflated_ys = jnp.broadcast_to(y.astype(dtype), (num_samples, ydim))
+    z0 = jnp.concatenate([x0, inflated_ys], axis=1)
+    delta = sde.T / num_steps
+    ts = (jnp.arange(num_steps, dtype=dtype) / num_steps) * sde.T
+
+    def step(x, inp):
+        t_i, kd, kn = inp
+        # re-diffuse the observed y to time T - t_i (models/diffusion.py:172)
+        s = sde.T - t_i
+        eps_y = jax.random.normal(kd, z0.shape, dtype)
+        y_t = (sde.base.mean_weight(s) * z0 + sde.base.std(s) * eps_y)[:, xdim:]
+        z_t = jnp.concatenate([x, y_t], axis=1)
+        t_col = jnp.full((num_samples, 1), t_i, dtype)
+        mu = sde.mu(lambda xx, cc, ss: drift_a(xx, cc, ss), t_col, z_t, None, lmbd)
+        sigma = sde.sigma(t_col, lmbd)
+        noise = jax.random.normal(kn, z_t.shape, dtype)
+        z_next = z_t + delta * mu + jnp.sqrt(delta) * sigma * noise
+        return z_next[:, :xdim], None
+
+    kd = jax.random.split(kdiff, num_steps)
+    kn = jax.random.split(kscan, num_steps)
+    x_final, _ = jax.lax.scan(step, x0, (ts, kd, kn))
+    return x_final
+
+
+def batched_sampler(sampler_fn):
+    """vmap a single-condition sampler over a batch of ys and keys.
+
+    Usage: batched_sampler(partial(euler_maruyama, sde, drift_a,
+    num_samples=..., ...))(keys, ys) -> (n_y, num_samples, xdim).
+    Shard ``ys``/``keys`` over the mesh 'data' axis to fan evaluation out
+    across chips (SURVEY.md §5 'distributed communication backend').
+    """
+
+    def run(keys: Array, ys: Array) -> Array:
+        return jax.vmap(sampler_fn)(keys, ys)
+
+    return run

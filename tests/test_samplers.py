@@ -1,0 +1,70 @@
+"""Euler-Maruyama sampler oracles.
+
+The strongest test: drive the reverse SDE with the ANALYTIC diffused
+posterior score of the linear problem (a 'perfect net') — the samples must
+reproduce the analytic posterior moments.  This validates drift/diffusion
+signs, the time grid, and noise scaling end-to-end without any training.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmip_tpu.problems import LinearForwardProblem
+from dmip_tpu.samplers import euler_maruyama, euler_maruyama_cdiffe
+from dmip_tpu.sde import ReverseSDE, VPSDE
+
+
+def test_em_with_perfect_score_recovers_posterior(key):
+    prob = LinearForwardProblem()
+    sde = ReverseSDE()
+    y = jnp.array([0.8, -0.3])
+
+    def drift_a(x, cond, s):
+        # net parametrization: a = g * score
+        t = s[0, 0] if s.ndim > 0 else s
+        score = prob.diffused_posterior_score(sde.base, x, y, t)
+        return sde.base.g(t) * score
+
+    x = euler_maruyama(sde, drift_a, key, y, num_samples=40_000, xdim=2,
+                       num_steps=400)
+    mean, cov = prob.posterior_moments(y)
+    np.testing.assert_allclose(np.mean(np.asarray(x), 0), mean, atol=0.03)
+    np.testing.assert_allclose(np.cov(np.asarray(x).T), cov, atol=0.04)
+
+
+def test_em_unconditional_standard_normal(key):
+    """With the prior score of N(0, I) (stationary), reverse diffusion from
+    N(0,I) must return N(0,I)."""
+    sde = ReverseSDE()
+
+    def drift_a(x, cond, s):
+        t = s[0, 0] if s.ndim > 0 else s
+        return sde.base.g(t) * (-x)
+
+    x = euler_maruyama(sde, drift_a, key, None, num_samples=40_000, xdim=2,
+                       num_steps=200)
+    np.testing.assert_allclose(np.mean(np.asarray(x), 0), 0.0, atol=0.03)
+    np.testing.assert_allclose(np.cov(np.asarray(x).T), np.eye(2), atol=0.04)
+
+
+def test_em_cdiffe_runs_and_is_finite(key):
+    sde = ReverseSDE()
+
+    def drift_a(z, cond, s):
+        t = s[0, 0] if s.ndim > 0 else s
+        return sde.base.g(t) * (-z)
+
+    y = jnp.array([0.5, 0.1])
+    x = euler_maruyama_cdiffe(sde, drift_a, key, y, num_samples=1000, xdim=2,
+                              num_steps=50)
+    assert x.shape == (1000, 2)
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_em_deterministic_under_same_key(key):
+    sde = ReverseSDE()
+    drift_a = lambda x, c, s: -x
+    a = euler_maruyama(sde, drift_a, key, None, 64, 2, 10)
+    b = euler_maruyama(sde, drift_a, key, None, 64, 2, 10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
