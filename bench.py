@@ -1,0 +1,99 @@
+"""Headline benchmark: reverse-SDE posterior-sampling throughput on TPU.
+
+Workload (the reference's evaluation hot path, SURVEY.md §3.2 /
+models/diffusion.py:27-46): Euler-Maruyama integration of the plug-in
+reverse SDE with the flagship CDE score net (5 -> 512x3 -> 2, tanh),
+batched over conditions — here 10 ys x 30,000 samples x 200 steps per
+timed repetition, vmapped into a single jitted scan.
+
+Baseline: the PyTorch-reference-style per-step Python-loop sampler measured
+on this host (benchmarks/torch_baseline.json; regenerate with
+``python benchmarks/baseline_torch.py``).  The reference publishes no
+numbers (BASELINE.md), so the baseline is measured, not quoted.
+
+Prints ONE JSON line:
+  {"metric": "em_sample_steps_per_sec", "value": N, "unit": "sample_steps/s",
+   "vs_baseline": ratio, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dmip_tpu.samplers import batched_sampler, euler_maruyama
+from dmip_tpu.train import get_model_from_args
+
+N_YS = 10
+N_SAMPLES = 30_000
+N_STEPS = 200
+N_REPS = 5
+
+
+def main() -> None:
+    model, _ = get_model_from_args(
+        {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [512, 512, 512]},
+        {"xdim": 2, "ydim": 2},
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    drift = lambda z, c, s: model.apply_a(params, z, c, s)
+    sampler = jax.jit(
+        batched_sampler(
+            partial(
+                euler_maruyama, model.sde, drift,
+                num_samples=N_SAMPLES, xdim=2, num_steps=N_STEPS,
+            )
+        )
+    )
+    ys = jax.random.normal(jax.random.PRNGKey(1), (N_YS, 2))
+    keys = jax.random.split(key, N_YS)
+
+    # warmup / compile
+    jax.block_until_ready(sampler(keys, ys))
+
+    t0 = time.time()
+    for r in range(N_REPS):
+        keys = jax.vmap(jax.random.fold_in, (0, None))(keys, r)
+        out = sampler(keys, ys)
+    jax.block_until_ready(out)
+    elapsed = time.time() - t0
+
+    total_sample_steps = N_REPS * N_YS * N_SAMPLES * N_STEPS
+    value = total_sample_steps / elapsed
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "torch_baseline.json",
+    )
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        vs_baseline = value / baseline["value"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "em_sample_steps_per_sec",
+                "value": value,
+                "unit": "sample_steps/s",
+                "vs_baseline": vs_baseline,
+                "device": str(jax.devices()[0]),
+                "workload": f"{N_REPS}x{N_YS}ys x {N_SAMPLES} x {N_STEPS} steps",
+                "elapsed_s": elapsed,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

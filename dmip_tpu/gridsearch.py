@@ -1,0 +1,221 @@
+"""Hyper-parameter grid search + best-model selection.
+
+Re-specifies reference ``model_selection.py`` (grid_search) and
+``get_best_model.py`` (post-hoc results walker).  Fixes reference bugs
+SURVEY.md §2.3.2 (factory arity crash) and §2.3.8 (use-before-assign in the
+path parser) by construction.
+
+The trial loop is sequential per trial like the reference (each trial is
+itself fully device-parallel inside); ``grid_search`` additionally accepts a
+``trial_filter`` so a multi-host deployment can round-robin trials across
+hosts (trial parallelism — each host runs trials i % n_hosts == host_id).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from .train import get_model_from_args
+from .utils.config import product_dict
+
+
+def trial_dir(src_dir: str, cfg: Dict[str, Any], loss_name: str) -> str:
+    """Encode trial params into the output path (model_selection.py:31-38)."""
+    if loss_name == "DSM_PDE":
+        return os.path.join(
+            src_dir, cfg["pde_loss"], "DSM_PDELoss", cfg["pde_metric"],
+            "lam:{}".format(cfg["lam"]),
+        )
+    return os.path.join(
+        src_dir, cfg["pde_loss"], loss_name, cfg["pde_metric"],
+        cfg.get("ic_metric", "L1"),
+        "lam:{}".format(cfg["lam"]), "lam2:{}".format(cfg["lam2"]),
+    )
+
+
+def should_skip(
+    cfg: Dict[str, Any], already_visited: List[Tuple[Any, Any]]
+) -> bool:
+    """Invalid-combo skipping + DSM_PDE dedup (model_selection.py:20-26):
+    cScoreFPE has no L1 PDE-metric variant in the search, and DSM_PDE trials
+    are keyed by (lam, pde_metric) only (lam2/ic_metric don't apply)."""
+    if cfg.get("pde_metric") == "L1" and cfg.get("pde_loss") == "cScoreFPE":
+        return True
+    if cfg.get("loss_fn") == "DSM_PDE":
+        sig = (cfg.get("lam"), cfg.get("pde_metric"), cfg.get("pde_loss"))
+        if sig in already_visited:
+            return True
+        already_visited.append(sig)
+    return False
+
+
+def grid_search(
+    y_test,
+    config: Dict[str, Any],
+    forward_model_params: Dict[str, Any],
+    train: Callable[..., Any],
+    evaluate: Callable[..., Tuple[float, float, float]],
+    train_args: Dict[str, Any],
+    eval_args: Dict[str, Any],
+    trial_filter: Optional[Callable[[int, Dict[str, Any]], bool]] = None,
+) -> Dict[str, Any]:
+    """Cartesian grid over config['params']; tracks best-by-KL / NLPD /
+    Fisher (score-MSE).
+
+    ``train(model, loss_cfg, trial_config, train_dir, log_dir, **train_args)
+    -> params`` and ``evaluate(model, params, y_test, out_dir, **eval_args)
+    -> (kl, nlpd, fisher)`` are injected by the experiment driver, mirroring
+    model_selection.py:5-64's dependency injection.
+    """
+    from .utils.config import set_directories
+
+    already_visited: List[Tuple[Any, Any]] = []
+    best = {
+        "kl": (np.inf, {}),
+        "nlpd": (np.inf, {}),
+        "fisher": (np.inf, {}),
+    }
+    results = []
+
+    for idx, trial_cfg in enumerate(product_dict(**config["params"])):
+        full_cfg = {**config, **trial_cfg}
+        if should_skip(full_cfg, already_visited):
+            continue
+        if trial_filter is not None and not trial_filter(idx, full_cfg):
+            continue
+
+        model, loss_cfg = get_model_from_args(full_cfg, forward_model_params)
+        tdir = trial_dir(config["src_dir"], full_cfg, loss_cfg.name)
+        out_dir = os.path.join(tdir, "results")
+        log_dir = set_directories(tdir, out_dir)
+        print("-----------------")
+        print(trial_cfg, flush=True)
+
+        params = train(model, loss_cfg, full_cfg, tdir, log_dir, **train_args)
+        kl, nlpd, fisher = evaluate(model, params, y_test, out_dir, **eval_args)
+        results.append({**trial_cfg, "kl": kl, "nlpd": nlpd, "fisher": fisher})
+
+        for metric, val in (("kl", kl), ("nlpd", nlpd), ("fisher", fisher)):
+            if val < best[metric][0]:
+                best[metric] = (val, trial_cfg)
+
+        print("---------------------------------")
+        for metric, label in (
+            ("kl", "Best KL"), ("nlpd", "Best NLPD"),
+            ("fisher", "Best Fisher divergence"),
+        ):
+            print(f"{label}: ", best[metric][0])
+            print(best[metric][1])
+            print("-------------------", flush=True)
+
+    return {
+        "best_kl": best["kl"], "best_nlpd": best["nlpd"],
+        "best_fisher": best["fisher"], "results": results,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Post-hoc best-model picker (reference get_best_model.py)
+# ---------------------------------------------------------------------------
+
+
+def get_params_from_path(path: str) -> Dict[str, Any]:
+    """Recover hyper-params from a trial directory path.
+
+    Handles both layouts produced by :func:`trial_dir`.  Fixes reference bug
+    SURVEY.md §2.3.8 (use-before-assign when the experiment name is absent).
+    """
+    parts = path.replace("\\", "/").split("/")
+    out: Dict[str, Any] = {}
+    for p in parts:
+        if p in ("FPE", "cScoreFPE"):
+            out["pde_loss"] = p
+        elif p in ("PINNLoss", "PINNLoss2", "DSM_PDELoss"):
+            out["loss_fn"] = p
+        elif p.startswith("lam:"):
+            out["lam"] = float(p[4:])
+        elif p.startswith("lam2:"):
+            out["lam2"] = float(p[5:])
+        elif p in ("L1", "L2"):
+            # first metric seen is pde_metric, second is ic_metric
+            if "pde_metric" not in out:
+                out["pde_metric"] = p
+            else:
+                out["ic_metric"] = p
+    return out
+
+
+def _read_results_csv(path: str) -> Dict[str, np.ndarray]:
+    with open(path) as f:
+        reader = csv.DictReader(f)
+        cols: Dict[str, List[float]] = {}
+        for row in reader:
+            for k, v in row.items():
+                if k in ("", None):
+                    continue
+                cols.setdefault(k, []).append(float(v))
+    return {k: np.asarray(v) for k, v in cols.items()}
+
+
+def traverse_subfolders(
+    src_dir: str, exclude: Iterable[str] = ()
+) -> Dict[str, Any]:
+    """Walk a grid-search results tree and report the best trials.
+
+    Mirrors get_best_model.py:21-126: reads each results.csv, recovers
+    params from the path, ranks by mean KL / reverse KL / NLL-diff / MSE.
+    """
+    best = {
+        "kl": (np.inf, None), "kl_reverse": (np.inf, None),
+        "nll_diff": (np.inf, None), "mse": (np.inf, None),
+    }
+    for root, _dirs, files in os.walk(src_dir):
+        if any(e and e in root for e in exclude):
+            continue
+        if "results.csv" not in files:
+            continue
+        cols = _read_results_csv(os.path.join(root, "results.csv"))
+        params = get_params_from_path(os.path.relpath(root, src_dir))
+        entry = {"path": root, **params}
+        if "KL2" in cols:
+            m = float(np.mean(cols["KL2"]))
+            if m < best["kl"][0]:
+                best["kl"] = (m, entry)
+        if "KL_reverse" in cols:
+            m = float(np.mean(cols["KL_reverse"]))
+            if m < best["kl_reverse"][0]:
+                best["kl_reverse"] = (m, entry)
+        nll_true_col = next(
+            (c for c in ("NLL_true", "NLL_mcmc") if c in cols), None
+        )
+        if nll_true_col and "NLL_diffusion" in cols:
+            m = float(np.mean(np.abs(cols["NLL_diffusion"] - cols[nll_true_col])))
+            if m < best["nll_diff"][0]:
+                best["nll_diff"] = (m, entry)
+        if "MSE" in cols:
+            m = float(np.mean(cols["MSE"]))
+            if m < best["mse"][0]:
+                best["mse"] = (m, entry)
+    return best
+
+
+def main():  # pragma: no cover
+    """CLI mirroring get_best_model.py:100-126."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--src_dir", required=True)
+    p.add_argument("--exclude", default="", help="comma-separated substrings")
+    args = p.parse_args()
+    best = traverse_subfolders(args.src_dir, args.exclude.split(","))
+    for metric, (val, entry) in best.items():
+        print(f"best {metric}: {val}")
+        print(f"  {entry}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

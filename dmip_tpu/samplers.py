@@ -58,7 +58,8 @@ def euler_maruyama(
         mu = sde.mu(lambda xx, cc, ss: drift_a(xx, cc, ss), t_col, x, cond, lmbd)
         sigma = sde.sigma(t_col, lmbd)
         noise = jax.random.normal(k, x.shape, dtype)
-        return x + delta * mu + jnp.sqrt(delta) * sigma * noise, None
+        x_next = x + delta * mu + jnp.sqrt(delta) * sigma * noise
+        return x_next.astype(dtype), None
 
     keys = jax.random.split(kscan, num_steps)
     x_final, _ = jax.lax.scan(step, x0, (ts, keys))
@@ -109,7 +110,7 @@ def euler_maruyama_cdiffe(
         sigma = sde.sigma(t_col, lmbd)
         noise = jax.random.normal(kn, z_t.shape, dtype)
         z_next = z_t + delta * mu + jnp.sqrt(delta) * sigma * noise
-        return z_next[:, :xdim], None
+        return z_next[:, :xdim].astype(dtype), None
 
     kd = jax.random.split(kdiff, num_steps)
     kn = jax.random.split(kscan, num_steps)

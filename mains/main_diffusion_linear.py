@@ -1,0 +1,97 @@
+"""Linear-problem diffusion experiment driver.
+
+TPU-native equivalent of reference ``main_diffusion_linear.py``: load config,
+generate the dataset, build the (model, loss) pair from config strings, train
+with jitted multi-epoch scans, checkpoint, and evaluate against the analytic
+posterior (KL / NLPD / score-MSE into results.csv).
+
+Usage: python mains/main_diffusion_linear.py [--config configs/config_linear.yml]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import optax
+
+from dmip_tpu import checkpoints, data, evaluate, train
+from dmip_tpu.problems import LinearForwardProblem
+from dmip_tpu.utils import MetricsWriter, load_config, set_directories
+
+
+def run(config: dict) -> tuple:
+    prob = LinearForwardProblem()
+    key = jax.random.PRNGKey(int(config.get("random_state", 7)))
+    k_data, k_split, k_init, k_train, k_eval = jax.random.split(key, 5)
+
+    xs, ys = data.generate_dataset_linear(
+        k_data, prob.xdim, prob.forward, int(config["dataset_size"])
+    )
+    x_train, x_test, y_train, y_test = data.train_test_split(
+        k_split, xs, ys, float(config["train_size"])
+    )
+
+    model, loss_cfg = train.get_model_from_args(
+        config, {"xdim": prob.xdim, "ydim": prob.ydim}
+    )
+    loss_fn = model.make_loss_fn(loss_cfg, initial_condition=prob.score_posterior)
+    params = model.init(k_init)
+
+    resume = bool(config.get("resume_training", False))
+    ckpt_dir = os.path.join(config["train_dir"], "checkpoint")
+    optimizer = optax.adam(float(config["lr"]))
+    opt_state, start_epoch = None, 0
+    if resume and os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
+        restored = checkpoints.load_checkpoint(
+            ckpt_dir, params, optimizer.init(params)
+        )
+        params = restored["params"]
+        opt_state = restored.get("opt_state")
+        start_epoch = restored["step"]
+        if "key" in restored:
+            k_train = restored["key"]
+        print(f"resumed from epoch {start_epoch}")
+
+    log_dir = set_directories(config["train_dir"], config["out_dir"], resume)
+    epc = int(config.get("epochs_per_call", 25))
+    epoch_fn = train.make_epoch_fn(
+        loss_fn,
+        optimizer,
+        lambda k: data.linear_epoch_batches(
+            k, x_train, y_train, prob.scale, int(config["batch_size"])
+        ),
+        epochs_per_call=epc,
+    )
+    with MetricsWriter(log_dir) as logger:
+        params, _ = train.fit(
+            epoch_fn, params, optimizer, k_train,
+            num_epochs=int(config["n_epochs"]), epochs_per_call=epc,
+            logger=logger, desc="diffusion-linear", opt_state=opt_state,
+            start_epoch=start_epoch,
+        )
+    checkpoints.save_checkpoint(
+        ckpt_dir, params, step=int(config["n_epochs"]), key=k_train
+    )
+
+    metrics = evaluate.evaluate_linear(
+        model, params, prob,
+        y_test[: int(config["n_samples_y"])], k_eval,
+        out_dir=config["out_dir"], plot_ys=config.get("plot_ys", ()),
+        n_samples_x=int(config["n_samples_x"]),
+        n_repeats=int(config.get("n_repeats", 10)),
+    )
+    return params, metrics
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/config_linear.yml")
+    args = p.parse_args()
+    config = load_config(args.config)
+    _, (kl, nlpd, mse) = run(config)
+    print(f"final: KL={kl:.4f} NLPD={nlpd:.4f} score-MSE={mse:.4f}")

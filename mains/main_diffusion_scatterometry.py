@@ -1,0 +1,101 @@
+"""Scatterometry diffusion experiment driver.
+
+TPU-native equivalent of reference ``main_diffusion_scatterometry.py``:
+online per-epoch simulation through the frozen surrogate folds into the
+jitted multi-epoch train scan; evaluation compares against precomputed MCMC
+ground truth (mains/generate_scatterometry_ground_truth.py).
+
+Usage: python mains/main_diffusion_scatterometry.py \
+          [--config configs/config_scatterometry.yml] [--gt_dir data/gt...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+import optax
+
+from dmip_tpu import checkpoints, data, evaluate, train
+from dmip_tpu.problems import scatterometry as scat
+from dmip_tpu.utils import MetricsWriter, load_config, set_directories
+
+
+def run(config: dict, gt_dir: str) -> tuple:
+    forward_model, fparams = scat.load_forward_model()
+    key = jax.random.PRNGKey(int(config.get("RANDOM_STATE", 13)))
+    k_data, k_init, k_train, k_eval = jax.random.split(key, 4)
+
+    _, y_test = data.generate_dataset_scatterometry(
+        k_data, forward_model, fparams["a"], fparams["b"],
+        size=int(config["n_samples_y"]),
+    )
+    score_post = scat.score_posterior(
+        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
+    )
+
+    model, loss_cfg = train.get_model_from_args(config, fparams)
+    loss_fn = model.make_loss_fn(
+        loss_cfg, initial_condition=score_post,
+        forward_model=forward_model, forward_params=fparams,
+    )
+    params = model.init(k_init)
+
+    resume = bool(config.get("resume_training", False))
+    ckpt_dir = os.path.join(config["train_dir"], "checkpoint")
+    optimizer = optax.adam(float(config.get("lr", 1e-4)))
+    opt_state, start_epoch = None, 0
+    if resume and os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
+        restored = checkpoints.load_checkpoint(
+            ckpt_dir, params, optimizer.init(params)
+        )
+        params = restored["params"]
+        opt_state = restored.get("opt_state")
+        start_epoch = restored["step"]
+        print(f"resumed from epoch {start_epoch}")
+
+    log_dir = set_directories(config["train_dir"], config["out_dir"], resume)
+    epc = int(config.get("epochs_per_call", 100))
+    epoch_fn = train.make_epoch_fn(
+        loss_fn,
+        optimizer,
+        lambda k: data.scatterometry_epoch_batches(
+            k, forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"],
+            int(config["batch_size"]),
+        ),
+        epochs_per_call=epc,
+    )
+    with MetricsWriter(log_dir) as logger:
+        params, _ = train.fit(
+            epoch_fn, params, optimizer, k_train,
+            num_epochs=int(config["n_epochs"]), epochs_per_call=epc,
+            logger=logger, desc="diffusion-scat", opt_state=opt_state,
+            start_epoch=start_epoch,
+        )
+    checkpoints.save_checkpoint(
+        ckpt_dir, params, step=int(config["n_epochs"]), key=k_train
+    )
+
+    gt_loader = lambda i, j: np.load(os.path.join(gt_dir, str(i), f"{j}.npy"))
+    metrics = evaluate.evaluate_scatterometry(
+        model, params, forward_model, fparams, score_post,
+        y_test, gt_loader, k_eval,
+        out_dir=config["out_dir"], plot_ys=config.get("plot_ys", ()),
+        n_samples_x=int(config["n_samples_x"]),
+        n_repeats=int(config.get("n_repeats", 10)),
+    )
+    return params, metrics
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/config_scatterometry.yml")
+    p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    args = p.parse_args()
+    _, (kl, nlpd, mse) = run(load_config(args.config), args.gt_dir)
+    print(f"final: KL={kl:.4f} NLPD={nlpd:.4f} score-MSE={mse:.4f}")

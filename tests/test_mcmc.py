@@ -1,0 +1,99 @@
+"""MCMC kernel tests: stationarity, detailed balance statistics, log-det."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmip_tpu import mcmc
+
+
+def _gauss_energy(x):
+    return 0.5 * jnp.sum(x**2, axis=1)
+
+
+def test_metropolis_targets_standard_normal(key):
+    """Long MH run from a bad init must produce N(0, I) samples."""
+    k0, kr = jax.random.split(key)
+    x0 = jax.random.uniform(k0, (20_000, 2)) * 6.0 - 3.0  # wide uniform init
+    x, logdet = jax.jit(
+        lambda k, x: mcmc.anneal_to_energy(k, x, _gauss_energy, 500, noise_std=0.5)
+    )(kr, x0)
+    xs = np.asarray(x)
+    np.testing.assert_allclose(xs.mean(0), 0.0, atol=0.03)
+    np.testing.assert_allclose(np.cov(xs.T), np.eye(2), atol=0.05)
+    assert logdet.shape == (20_000,)
+
+
+def test_metropolis_acceptance_all_when_downhill(key):
+    """Proposals that lower the energy are always accepted: with a huge
+    temperature target, e_diff >= 1 for most moves and chains move."""
+    x0 = jnp.zeros((1000, 2))
+    x, _ = mcmc.anneal_to_energy(key, x0, _gauss_energy, 1, noise_std=0.1)
+    # ~100% acceptance near the mode for small steps: most chains moved
+    moved = np.mean(np.any(np.asarray(x) != 0.0, axis=1))
+    assert moved > 0.9
+
+
+def test_energy_grad(key):
+    x = jax.random.normal(key, (7, 3))
+    g, e = mcmc.energy_grad(x, _gauss_energy)
+    np.testing.assert_allclose(g, x, rtol=1e-5)
+    np.testing.assert_allclose(e, 0.5 * np.sum(np.asarray(x) ** 2, 1), rtol=1e-5)
+
+
+def test_langevin_step_moves_toward_mode(key):
+    """ULA on N(0,I) from a distant start: mean energy must drop."""
+    k0, kl = jax.random.split(key)
+    x0 = jax.random.normal(k0, (5000, 2)) + 4.0
+    x, log_det, e_first, e_last = mcmc.langevin_step(
+        kl, x0, stepsize=0.05, energy=_gauss_energy, lang_steps=50
+    )
+    assert float(jnp.mean(e_last)) < float(jnp.mean(e_first))
+    assert log_det.shape == (5000,)
+    assert np.all(np.isfinite(np.asarray(log_det)))
+
+
+def test_mala_targets_standard_normal(key):
+    k0, kr = jax.random.split(key)
+    x0 = jax.random.normal(k0, (10_000, 2)) * 3.0
+    x, _ = jax.jit(
+        lambda k, x: mcmc.anneal_to_energy(
+            k, x, _gauss_energy, 100, langevin_prop=True, lang_steps=1,
+            stepsize=0.05,
+        )
+    )(kr, x0)
+    xs = np.asarray(x)
+    np.testing.assert_allclose(xs.mean(0), 0.0, atol=0.05)
+    np.testing.assert_allclose(np.cov(xs.T), np.eye(2), atol=0.08)
+
+
+def test_interpolated_energy_endpoints():
+    ys = jnp.zeros((4, 2))
+    nlp = lambda x, ys: jnp.full(x.shape[0], 7.0)
+    x = jnp.ones((4, 2))
+    e0 = mcmc.interpolated_energy(ys, 0.0, nlp)(x)
+    np.testing.assert_allclose(e0, 1.0)  # ||x||^2/2 = 1
+    e1 = mcmc.interpolated_energy(ys, 1.0, nlp)(x)
+    np.testing.assert_allclose(e1, 7.0)
+    eh = mcmc.interpolated_energy(ys, 0.5, nlp)(x)
+    np.testing.assert_allclose(eh, 0.5 * 7.0 + 0.5 * 1.0)
+
+
+def test_scatterometry_mcmc_stays_in_box(key):
+    """MH on the scatterometry energy: samples concentrate in [-1,1]^3."""
+    from dmip_tpu.problems import scatterometry as scat
+
+    fwd, p = scat.load_forward_model()
+    k0, kd, kr = jax.random.split(key, 3)
+    x_star = jax.random.uniform(kd, (1, 3)) * 2 - 1
+    y = scat.noisy_forward(kd, fwd, x_star, p["a"], p["b"])
+    ys = jnp.broadcast_to(y, (2000, 23))
+    energy = lambda x: scat.get_log_posterior(
+        x, fwd, p["a"], p["b"], ys, p["lambd_bd"]
+    )
+    x0 = jax.random.uniform(k0, (2000, 3)) * 2 - 1
+    x, _ = jax.jit(
+        lambda k, x: mcmc.anneal_to_energy(k, x, energy, 200, noise_std=0.5)
+    )(kr, x0)
+    frac_in = np.mean(np.all(np.abs(np.asarray(x)) <= 1.01, axis=1))
+    assert frac_in > 0.98

@@ -62,6 +62,15 @@ def test_em_cdiffe_runs_and_is_finite(key):
     assert np.all(np.isfinite(np.asarray(x)))
 
 
+def test_em_bfloat16_dtype(key):
+    """bf16 sampling path: carry dtype must stay bf16 through the scan."""
+    sde = ReverseSDE()
+    drift_a = lambda x, c, s: (-x).astype(x.dtype)
+    x = euler_maruyama(sde, drift_a, key, None, 64, 2, 10, dtype=jnp.bfloat16)
+    assert x.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(x, np.float32)))
+
+
 def test_em_deterministic_under_same_key(key):
     sde = ReverseSDE()
     drift_a = lambda x, c, s: -x
