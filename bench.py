@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dmip_tpu.samplers import batched_sampler, euler_maruyama
 from dmip_tpu.train import get_model_from_args
 
 N_YS = 10
@@ -45,25 +44,22 @@ def main() -> None:
     )
     key = jax.random.PRNGKey(0)
     params = model.init(key)
-    drift = lambda z, c, s: model.apply_a(params, z, c, s)
-    sampler = jax.jit(
-        batched_sampler(
-            partial(
-                euler_maruyama, model.sde, drift,
-                num_samples=N_SAMPLES, xdim=2, num_steps=N_STEPS,
-            )
-        )
-    )
     ys = jax.random.normal(jax.random.PRNGKey(1), (N_YS, 2))
-    keys = jax.random.split(key, N_YS)
+
+    # One condition's samples per call (the reference's unit of work),
+    # N_YS conditions per rep; the fused Pallas kernel is the default TPU
+    # path inside model.sample.
+    sampler = jax.jit(
+        lambda k, y: model.sample(params, k, y, N_SAMPLES, N_STEPS)
+    )
 
     # warmup / compile
-    jax.block_until_ready(sampler(keys, ys))
+    jax.block_until_ready(sampler(key, ys[0]))
 
     t0 = time.time()
     for r in range(N_REPS):
-        keys = jax.vmap(jax.random.fold_in, (0, None))(keys, r)
-        out = sampler(keys, ys)
+        for i in range(N_YS):
+            out = sampler(jax.random.fold_in(key, r * N_YS + i), ys[i])
     jax.block_until_ready(out)
     elapsed = time.time() - t0
 

@@ -136,6 +136,16 @@ class DiffusionModel:
         return loss_fn
 
     # -- sampling ----------------------------------------------------------
+    def _pallas_eligible(self, params, y) -> bool:
+        """The fused Pallas kernel handles the plain-MLP conditional drift of
+        CDE on TPU; CDiffE/Posterior and non-TPU backends use the XLA scan."""
+        return (
+            jax.default_backend() == "tpu"
+            and y is not None
+            and isinstance(params, tuple)
+            and type(self).sample is DiffusionModel.sample
+        )
+
     def sample(
         self,
         params,
@@ -146,8 +156,33 @@ class DiffusionModel:
         mean: float = 0.0,
         std: float = 1.0,
         dtype=jnp.float32,
+        method: str = "auto",
     ) -> Array:
-        """Euler-Maruyama posterior sampler (models/diffusion.py:27-46)."""
+        """Euler-Maruyama posterior sampler (models/diffusion.py:27-46).
+
+        method: 'auto' (fused Pallas kernel on TPU, XLA scan elsewhere),
+        'pallas', or 'xla'.
+        """
+        if method == "auto":
+            method = "pallas" if self._pallas_eligible(params, y) else "xla"
+        if method == "pallas":
+            from ..ops.em_kernel import fused_em_sampler
+
+            k0, ks = jax.random.split(key)
+            x0 = (
+                jax.random.normal(k0, (num_samples, self.xdim), jnp.float32)
+                * std
+                + mean
+            )
+            seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max)
+            base = self.sde.base
+            return fused_em_sampler(
+                params, x0, y, num_steps,
+                T=self.sde.T, beta_min=base.beta_min, beta_max=base.beta_max,
+                seed=seed,
+                compute_dtype=jnp.bfloat16 if dtype == jnp.bfloat16
+                else jnp.float32,
+            ).astype(dtype)
         drift = lambda z, c, s: self.apply_a(params, z, c, s)
         return samplers.euler_maruyama(
             self.sde, drift, key, y, num_samples, self.xdim, num_steps,

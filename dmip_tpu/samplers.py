@@ -36,8 +36,12 @@ def euler_maruyama(
     std: float = 1.0,
     lmbd: float = 0.0,
     dtype=jnp.float32,
+    noise_scale: float = 1.0,
 ) -> Array:
     """Integrate the plug-in reverse SDE from x0 ~ N(mean, std^2).
+
+    ``noise_scale=0`` turns the integrator deterministic (testing hook for
+    exact parity against the fused Pallas kernel).
 
     drift_a(x, cond, s) is the learned drift (params already closed over);
     ``y`` of shape (ydim,) is tiled over the sample batch (reference
@@ -57,7 +61,7 @@ def euler_maruyama(
         t_col = jnp.full((num_samples, 1), t_i, dtype)
         mu = sde.mu(lambda xx, cc, ss: drift_a(xx, cc, ss), t_col, x, cond, lmbd)
         sigma = sde.sigma(t_col, lmbd)
-        noise = jax.random.normal(k, x.shape, dtype)
+        noise = noise_scale * jax.random.normal(k, x.shape, dtype)
         x_next = x + delta * mu + jnp.sqrt(delta) * sigma * noise
         return x_next.astype(dtype), None
 
