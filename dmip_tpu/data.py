@@ -78,6 +78,18 @@ def generate_dataset_scatterometry(
     return x, y
 
 
+def get_gt_samples_scatterometry(src_dir: str, y_idx: int, repeat: int):
+    """Load one (condition, repeat) ground-truth MCMC array from
+    gt_dir/<y_idx>/<repeat>.npy (reference datasets.py:19-24)."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(src_dir, str(y_idx), f"{repeat}.npy")
+    with open(path, "rb") as f:
+        return np.load(f)
+
+
 def scatterometry_epoch_batches(
     key: Array,
     forward_model: Callable[[Array], Array],

@@ -290,6 +290,19 @@ class SNF:
     def forward(self, params, key: Array, zs: Array, ys: Array):
         return self._apply(params, key, zs, ys, "forward")
 
+    def forward_all(self, params, key: Array, zs: Array, ys: Array):
+        """Forward pass returning the sample path after every layer
+        (reference SNF.forward_all, models/SNF.py:98-105)."""
+        outs = [zs]
+        for i, layer in enumerate(self.layers):
+            key, k = jax.random.split(key)
+            if isinstance(layer, DeterministicLayer):
+                zs, _ = layer.forward(params[i], k, zs, ys)
+            else:
+                zs, _ = layer.forward(params[i], k, zs, ys, self.energy_fn)
+            outs.append(zs)
+        return outs
+
     def backward(self, params, key: Array, zs: Array, ys: Array):
         return self._apply(params, key, zs, ys, "backward")
 

@@ -94,7 +94,7 @@ def anneal_to_energy(
     e0 = energy(x_curr)
 
     def step(carry, k):
-        x, _ = carry
+        x, e_carried = carry
         if langevin_prop:
             kl, ka = jax.random.split(k)
             x_prop, log_det, e_curr, e_prop = langevin_step(
@@ -106,7 +106,10 @@ def anneal_to_energy(
             noise = noise_std * jax.random.normal(kn, x.shape, x.dtype)
             x_prop = x + noise
             e_prop = energy(x_prop)
-            e_curr = energy(x)
+            # the reference recomputes energy(x) every step
+            # (models/SNF.py:261); carrying the accepted energy is
+            # distribution-identical and halves the forward-model evals.
+            e_curr = e_carried
             log_ratio = -e_prop + e_curr
         # r < exp(log_ratio), branchless (reference models/SNF.py:263-269)
         r = jax.random.uniform(ka, e_prop.shape, x.dtype)

@@ -164,6 +164,93 @@ class ReverseSDE:
         return jnp.sqrt(1.0 - lmbd) * self.base.g(self.T - t)
 
 
+def log_normal(x: Array, mean: Array, log_var: Array) -> Array:
+    """Elementwise Gaussian log density (vendored sdeflow-light helper used
+    by the ELBO estimator; reference sdes.py:6,124)."""
+    return -0.5 * (
+        jnp.log(2.0 * jnp.pi) + log_var + (x - mean) ** 2 / jnp.exp(log_var)
+    )
+
+
+def sample_v(key: Array, shape, vtype: str = "rademacher") -> Array:
+    """Hutchinson probe vectors (vendored sdeflow-light ``sample_v``)."""
+    if vtype == "rademacher":
+        return jax.random.rademacher(key, shape, jnp.float32)
+    if vtype in ("normal", "gaussian"):
+        return jax.random.normal(key, shape)
+    raise ValueError(f"unknown vtype {vtype!r}")
+
+
+def reverse_sde_dsm(
+    sde: ReverseSDE,
+    apply_a: Callable[..., Array],
+    params,
+    key: Array,
+    x: Array,
+    cond: Optional[Array],
+) -> Array:
+    """Per-sample DSM loss of the plug-in reverse SDE.
+
+    Reference PluginReverseSDE.dsm (sdes.py:89-101).  DOCUMENTED DIVERGENCE:
+    the reference passes ``(y, t_, cond)`` to a net whose signature is
+    (x, y, t) (SURVEY.md §2.3.5, dead code in the mains); here the argument
+    order is corrected to a(y_t, cond, t).
+    """
+    kt, keps = jax.random.split(key)
+    batch = x.shape[0]
+    if sde.debias:
+        t = sde.base.sample_debiasing_t(kt, (batch, 1))
+    else:
+        t = jax.random.uniform(kt, (batch, 1)) * sde.T
+    eps = jax.random.normal(keps, x.shape, x.dtype)
+    y_t = sde.base.diffuse(t, x, eps)
+    std = sde.base.std(t)
+    g = sde.base.g(t)
+    a = apply_a(params, y_t, cond, t)
+    return 0.5 * jnp.sum((a * std / g + eps) ** 2, axis=1)
+
+
+def elbo_random_t_slice(
+    sde: ReverseSDE,
+    apply_a: Callable[..., Array],
+    params,
+    key: Array,
+    x: Array,
+    cond: Optional[Array] = None,
+    vtype: str = "rademacher",
+) -> Array:
+    """Single-t-slice ELBO estimate of the plug-in reverse SDE.
+
+    Reference PluginReverseSDE.elbo_random_t_slice (sdes.py:103-126):
+    t ~ U(0,T); y_t sampled from the marginal; div(mu) by a Hutchinson
+    vector-Jacobian probe; prior term log N(y_T; 0, I).
+    """
+    kt, ky, kv, kT = jax.random.split(key, 4)
+    batch = x.shape[0]
+    t = jax.random.uniform(kt, (batch, 1)) * sde.T
+    qt = 1.0 / sde.T
+    eps = jax.random.normal(ky, x.shape, x.dtype)
+    y = sde.base.diffuse(t, x, eps)
+    v = sample_v(kv, x.shape, vtype)
+
+    def mu_fn(y_in):
+        a = apply_a(params, y_in, cond, t)
+        return sde.base.g(t) * a - sde.base.f(t, y_in)
+
+    a_val = apply_a(params, y, cond, t)
+    _, vjp = jax.vjp(mu_fn, y)
+    mu_div_probe = jnp.sum(vjp(v)[0] * v, axis=1)
+    Mu = -mu_div_probe / qt
+    Nu = -0.5 * jnp.sum(a_val**2, axis=1) / qt
+
+    epsT = jax.random.normal(kT, x.shape, x.dtype)
+    yT = sde.base.diffuse(jnp.full((batch, 1), sde.base.T), x, epsT)
+    lp = jnp.sum(
+        log_normal(yT, jnp.zeros_like(yT), jnp.zeros_like(yT)), axis=1
+    )
+    return lp + Mu + Nu
+
+
 def sample_t(
     sde: ReverseSDE, key: Array, batch: int, eps: float = 1e-4
 ) -> Array:

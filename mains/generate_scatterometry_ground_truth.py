@@ -33,7 +33,12 @@ from dmip_tpu.utils import load_config
 
 
 def make_gt_kernel(forward_model, fparams, n_chains, metr_steps, noise_std):
-    """Jitted: all chains for one condition y (all repeats fused)."""
+    """Jitted: one (condition, repeat)'s chains.
+
+    A single fixed chain count keeps ONE compiled kernel for the whole run
+    (this image's XLA takes minutes per scan compile and SIGILLs on very
+    large flat batches, so repeats loop in Python over the cached kernel).
+    """
     a, b, lambd_bd = fparams["a"], fparams["b"], fparams["lambd_bd"]
 
     @jax.jit
@@ -65,23 +70,24 @@ def run(config: dict, gt_dir: str, plot: bool = True) -> None:
     n_x = int(config["n_samples_x"])
     kernel = make_gt_kernel(
         forward_model, fparams,
-        n_chains=n_repeats * n_x,
+        n_chains=n_x,
         metr_steps=int(config["METR_STEPS"]),
         noise_std=float(config["NOISE_STD_MCMC"]),
     )
 
     for i in range(y_test.shape[0]):
-        k_mcmc, k = jax.random.split(k_mcmc)
-        x = np.asarray(kernel(k, y_test[i])).reshape(n_repeats, n_x, 3)
         out_dir = os.path.join(gt_dir, str(i))
         os.makedirs(out_dir, exist_ok=True)
+        x = None
         for j in range(n_repeats):
-            np.save(os.path.join(out_dir, f"{j}.npy"), x[j])
+            k_mcmc, k = jax.random.split(k_mcmc)
+            x = np.asarray(kernel(k, y_test[i]))
+            np.save(os.path.join(out_dir, f"{j}.npy"), x)
         if plot and i in config.get("plot_ys", config.get("plot_y", ())):
             from dmip_tpu.utils.plotting import plot_density
 
             plot_density(
-                x[-1], nbins=75, limits=(-1.2, 1.2), xticks=[-1, 0, 1],
+                x, nbins=75, limits=(-1.2, 1.2), xticks=[-1, 0, 1],
                 size=(12, 12), labelsize=30,
                 fname=os.path.join(out_dir, f"posterior-mcmc-{i}.svg"),
             )
