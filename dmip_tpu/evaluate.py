@@ -61,8 +61,10 @@ def kl_pair(
     main_diffusion_linear.py:109-117 / main_diffusion_scatterometry.py:94-102:
     normalize, add eps, renormalize, sum rel_entr.
     """
-    p = hist_true / jnp.sum(hist_true) + epsilon
-    q = hist_model / jnp.sum(hist_model) + epsilon
+    # guard empty histograms (all samples out of range -> uniform-eps dist
+    # instead of the reference's nan)
+    p = hist_true / jnp.maximum(jnp.sum(hist_true), 1.0) + epsilon
+    q = hist_model / jnp.maximum(jnp.sum(hist_model), 1.0) + epsilon
     p = p / jnp.sum(p)
     q = q / jnp.sum(q)
     kl = jnp.sum(p * (jnp.log(p) - jnp.log(q)))

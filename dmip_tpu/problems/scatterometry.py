@@ -38,6 +38,18 @@ DEFAULT_PARAMS: Dict[str, float] = {
 }
 
 
+def load_surrogate_weights(
+    weights_path: str = _DEFAULT_WEIGHTS, dtype=jnp.float32
+):
+    """The frozen surrogate's raw (W, b) pairs (for the fused MH kernel)."""
+    data = np.load(weights_path)
+    n_layers = len([k for k in data.files if k.startswith("w")])
+    return tuple(
+        (jnp.asarray(data[f"w{i}"], dtype), jnp.asarray(data[f"b{i}"], dtype))
+        for i in range(n_layers)
+    )
+
+
 def load_forward_model(
     weights_path: str = _DEFAULT_WEIGHTS, dtype=jnp.float32
 ) -> Tuple[Callable[[Array], Array], Dict[str, float]]:
@@ -47,12 +59,7 @@ def load_forward_model(
     constants, so XLA constant-folds them into the compiled kernel).
     Mirrors reference utils_scatterometry.py:8-25.
     """
-    data = np.load(weights_path)
-    n_layers = len([k for k in data.files if k.startswith("w")])
-    weights = tuple(
-        (jnp.asarray(data[f"w{i}"], dtype), jnp.asarray(data[f"b{i}"], dtype))
-        for i in range(n_layers)
-    )
+    weights = load_surrogate_weights(weights_path, dtype)
 
     def apply_fn(x: Array) -> Array:
         h = x

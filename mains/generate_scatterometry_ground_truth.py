@@ -32,14 +32,35 @@ from dmip_tpu.problems import scatterometry as scat
 from dmip_tpu.utils import load_config
 
 
-def make_gt_kernel(forward_model, fparams, n_chains, metr_steps, noise_std):
+def make_gt_kernel(forward_model, fparams, n_chains, metr_steps, noise_std,
+                   backend: str = "auto"):
     """Jitted: one (condition, repeat)'s chains.
 
-    A single fixed chain count keeps ONE compiled kernel for the whole run
-    (this image's XLA takes minutes per scan compile and SIGILLs on very
-    large flat batches, so repeats loop in Python over the cached kernel).
+    backend='pallas' (default on TPU) uses the fused on-chip MH kernel
+    (dmip_tpu.ops.mh_kernel): ~0.25s per 30k-chain x 1000-step run and
+    seconds-scale compile.  backend='xla' is the generic scan path (used on
+    CPU and for arbitrary energies).
     """
     a, b, lambd_bd = fparams["a"], fparams["b"], fparams["lambd_bd"]
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if backend == "pallas":
+        from dmip_tpu.ops import fused_mh_scatterometry
+
+        weights = scat.load_surrogate_weights()
+
+        @jax.jit
+        def run(key, y):
+            k0, ks = jax.random.split(key)
+            x0 = jax.random.uniform(k0, (n_chains, 3)) * 2.0 - 1.0
+            seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max)
+            return fused_mh_scatterometry(
+                weights, x0, y, metr_steps, noise_std=noise_std,
+                a=a, b=b, lambd_bd=lambd_bd, seed=seed,
+            )
+
+        return run
 
     @jax.jit
     def run(key, y):
