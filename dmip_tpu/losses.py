@@ -173,6 +173,21 @@ def _reduce_metric(res: Array, metric: str) -> Array:
     raise ValueError(f"metric must be 'L1' or 'L2', got {metric!r}")
 
 
+def _fpe_probes(divergence_method, probe_key, shape, dtype, vtype):
+    if divergence_method == "exact":
+        return None
+    if divergence_method in ("hutchinson", "approx", "approximate"):
+        if probe_key is None:
+            raise ValueError("hutchinson divergence requires probe_key")
+        if vtype == "rademacher":
+            return rademacher_like(probe_key, shape, dtype)
+        return jax.random.normal(probe_key, shape, dtype)
+    raise ValueError(
+        "divergence_method must be one of 'exact', 'hutchinson', 'approx', "
+        f"'approximate'; got {divergence_method!r}"
+    )
+
+
 def score_fpe_loss(
     apply_a: ApplyFn,
     params,
@@ -186,41 +201,80 @@ def score_fpe_loss(
     divergence_method: str = "exact",
     probe_key: Optional[Array] = None,
     vtype: str = "rademacher",
+    impl: str = "batched",
 ) -> Array:
     """Batched ScoreFPE PDE loss, per-sample values of shape (batch,).
 
     Reference ScoreFPELoss.forward (losses.py:77-98); the metric reduces the
     residual with a per-sample MEAN over dimensions (losses.py:92-95).
+
+    impl='batched' (default) computes every derivative with BATCHED
+    transforms — d basis JVPs for the exact divergence, one JVP in t, one
+    reverse grad of the summed per-sample scalar — exploiting that rows are
+    independent (the per-sample Jacobians have no cross-terms, so the
+    sum-then-grad equals per-sample grads).  This keeps all matmuls at full
+    batch size on the MXU; impl='vmap' is the per-sample reference
+    composition used for equivalence testing.
     """
     if metric not in ("L1", "L2"):
         raise ValueError(f"metric must be 'L1' or 'L2', got {metric!r}")
-    batch = z0.shape[0]
+    batch, d = z0.shape
     t_flat = t.reshape(batch)
     beta = base_sde.beta(t_flat)
     z_t = base_sde.diffuse(t, z0, eps)
+    v = _fpe_probes(divergence_method, probe_key, z0.shape, z0.dtype, vtype)
 
-    if divergence_method == "exact":
-        v = None
-    elif divergence_method in ("hutchinson", "approx", "approximate"):
-        if probe_key is None:
-            raise ValueError("hutchinson divergence requires probe_key")
-        if vtype == "rademacher":
-            v = rademacher_like(probe_key, z0.shape, z0.dtype)
-        else:
-            v = jax.random.normal(probe_key, z0.shape, z0.dtype)
-    else:
-        raise ValueError(
-            "divergence_method must be one of 'exact', 'hutchinson', 'approx', "
-            f"'approximate'; got {divergence_method!r}"
+    if impl == "vmap":
+        def per_sample(z0_i, eps_i, cond_i, z_t_i, t_i, beta_i, v_i):
+            fns = make_score_fns(
+                apply_a, params, base_sde, z0_i, eps_i, cond_i, t_i
+            )
+            res = _score_fpe_residual(fns, z_t_i, t_i, beta_i, v_i)
+            return _reduce_metric(res, metric)
+
+        in_axes = (
+            0, 0, None if cond is None else 0, 0, 0, 0,
+            None if v is None else 0,
+        )
+        return jax.vmap(per_sample, in_axes=in_axes)(
+            z0, eps, cond, z_t, t_flat, beta, v
         )
 
-    def per_sample(z0_i, eps_i, cond_i, z_t_i, t_i, beta_i, v_i):
-        fns = make_score_fns(apply_a, params, base_sde, z0_i, eps_i, cond_i, t_i)
-        res = _score_fpe_residual(fns, z_t_i, t_i, beta_i, v_i)
-        return _reduce_metric(res, metric)
+    t_col = t.reshape(batch, 1)
 
-    in_axes = (0, 0, None if cond is None else 0, 0, 0, 0, None if v is None else 0)
-    return jax.vmap(per_sample, in_axes=in_axes)(z0, eps, cond, z_t, t_flat, beta, v)
+    def s_of_x(z):
+        return apply_a(params, z, cond, t_col) / base_sde.g(t_col)
+
+    def s_of_t(tc):
+        z = base_sde.diffuse(tc, z0, eps)
+        return apply_a(params, z, cond, tc) / base_sde.g(tc)
+
+    _, ds_dt = jax.jvp(s_of_t, (t_col,), (jnp.ones_like(t_col),))
+
+    if v is None:
+        def div_fn(z):
+            out = jnp.zeros(batch, z.dtype)
+            for i in range(d):
+                e_i = jnp.zeros_like(z).at[:, i].set(1.0)
+                _, jv = jax.jvp(s_of_x, (z,), (e_i,))
+                out = out + jv[:, i]
+            return out
+    else:
+        def div_fn(z):
+            _, vjp = jax.vjp(s_of_x, z)
+            return jnp.sum(vjp(v)[0] * v, axis=1)
+
+    def h_sum(z):
+        s = s_of_x(z)
+        return jnp.sum(
+            div_fn(z) + jnp.sum(s**2, axis=1) + jnp.sum(z * s, axis=1)
+        )
+
+    grad_x = jax.grad(h_sum)(z_t)
+    res = ds_dt - 0.5 * beta[:, None] * grad_x
+    if metric == "L1":
+        return jnp.mean(jnp.abs(res), axis=1)
+    return jnp.mean(res**2, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +292,7 @@ def cscore_fpe_loss(
     t: Array,
     *,
     metric: str = "L2",
+    impl: str = "batched",
 ) -> Array:
     """cScoreFPE: per-sample SUM over dims of |std^3 ds/dt - eps beta alpha^2 / 2|^p.
 
@@ -249,20 +304,39 @@ def cscore_fpe_loss(
     batch = z0.shape[0]
     t_flat = t.reshape(batch)
 
-    def per_sample(z0_i, eps_i, cond_i, t_i):
-        fns = make_score_fns(apply_a, params, base_sde, z0_i, eps_i, cond_i, t_i)
-        ds_dt = _ds_dt(fns, t_i)
-        alpha = base_sde.mean_weight(t_i)
-        beta = base_sde.beta(t_i)
-        std = base_sde.std(t_i)
-        u = 0.5 * eps_i * beta * alpha**2
-        res = std**3 * ds_dt - u
-        if metric == "L2":
-            return jnp.sum(res**2)
-        return jnp.sum(jnp.abs(res))
+    if impl == "vmap":
+        def per_sample(z0_i, eps_i, cond_i, t_i):
+            fns = make_score_fns(
+                apply_a, params, base_sde, z0_i, eps_i, cond_i, t_i
+            )
+            ds_dt = _ds_dt(fns, t_i)
+            alpha = base_sde.mean_weight(t_i)
+            beta = base_sde.beta(t_i)
+            std = base_sde.std(t_i)
+            u = 0.5 * eps_i * beta * alpha**2
+            res = std**3 * ds_dt - u
+            if metric == "L2":
+                return jnp.sum(res**2)
+            return jnp.sum(jnp.abs(res))
 
-    in_axes = (0, 0, None if cond is None else 0, 0)
-    return jax.vmap(per_sample, in_axes=in_axes)(z0, eps, cond, t_flat)
+        in_axes = (0, 0, None if cond is None else 0, 0)
+        return jax.vmap(per_sample, in_axes=in_axes)(z0, eps, cond, t_flat)
+
+    t_col = t.reshape(batch, 1)
+
+    def s_of_t(tc):
+        z = base_sde.diffuse(tc, z0, eps)
+        return apply_a(params, z, cond, tc) / base_sde.g(tc)
+
+    _, ds_dt = jax.jvp(s_of_t, (t_col,), (jnp.ones_like(t_col),))
+    alpha = base_sde.mean_weight(t_col)
+    beta = base_sde.beta(t_col)
+    std = base_sde.std(t_col)
+    u = 0.5 * eps * beta * alpha**2
+    res = std**3 * ds_dt - u
+    if metric == "L2":
+        return jnp.sum(res**2, axis=1)
+    return jnp.sum(jnp.abs(res), axis=1)
 
 
 # ---------------------------------------------------------------------------

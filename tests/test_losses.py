@@ -137,6 +137,37 @@ def test_composite_losses_run_and_log(setup):
         assert set(info.keys()) == keys
 
 
+@pytest.mark.parametrize("metric", ["L1", "L2"])
+def test_batched_impl_equals_vmap_impl(setup, metric):
+    """The batched (MXU-friendly) FPE composition must agree exactly with
+    the per-sample vmap reference composition."""
+    params, x, y, eps, t = setup
+    sde = VPSDE()
+    a = L.score_fpe_loss(_apply, params, sde, x, eps, y, t, metric=metric,
+                         impl="batched")
+    b = L.score_fpe_loss(_apply, params, sde, x, eps, y, t, metric=metric,
+                         impl="vmap")
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    a = L.cscore_fpe_loss(_apply, params, sde, x, eps, y, t, metric=metric,
+                          impl="batched")
+    b = L.cscore_fpe_loss(_apply, params, sde, x, eps, y, t, metric=metric,
+                          impl="vmap")
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_batched_impl_hutchinson_equals_vmap(setup):
+    params, x, y, eps, t = setup
+    sde = VPSDE()
+    k = jax.random.PRNGKey(9)
+    a = L.score_fpe_loss(_apply, params, sde, x, eps, y, t, metric="L2",
+                         divergence_method="hutchinson", probe_key=k,
+                         impl="batched")
+    b = L.score_fpe_loss(_apply, params, sde, x, eps, y, t, metric="L2",
+                         divergence_method="hutchinson", probe_key=k,
+                         impl="vmap")
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_hutchinson_path_runs(setup):
     params, x, y, eps, t = setup
     sde = VPSDE()
