@@ -110,8 +110,14 @@ def inverse_cdf_prior(u: Array, lambd_bd: float) -> Array:
 
 
 def sample_prior(key: Array, n: int, lambd_bd: float, xdim: int = 3) -> Array:
-    """Draw n samples from the smoothed-uniform prior via the inverse CDF."""
-    u = jax.random.uniform(key, (n, xdim))
+    """Draw n samples from the smoothed-uniform prior via the inverse CDF.
+
+    u is clipped away from {0, 1}: f32 uniforms hit 0 with prob ~2^-24 and
+    the log-tail maps u=0 to x ~ -88, which produced inf losses deep into
+    training runs.  The clip truncates tails beyond |x| ~ 1 + 16/lambd_bd
+    (mass < 1e-7) — negligible versus the reference's numpy sampler.
+    """
+    u = jax.random.uniform(key, (n, xdim), minval=1e-7, maxval=1.0 - 1e-7)
     return inverse_cdf_prior(u, lambd_bd)
 
 

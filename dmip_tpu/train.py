@@ -47,18 +47,45 @@ class TrainState:
     step: int = 0
 
 
-def make_train_step(loss_fn, optimizer):
-    """One SGD step: (params, opt_state, key, x, y) -> (params, opt_state, loss, info)."""
+def make_train_step(loss_fn, optimizer, skip_nonfinite: bool = True):
+    """One SGD step: (params, opt_state, key, x, y) -> (params, opt_state, loss, info).
+
+    ``skip_nonfinite`` (default on) drops an update whose gradients contain
+    inf/nan instead of poisoning the parameters — single-batch numeric
+    spikes (e.g. extreme prior-tail samples through the boundary-loss
+    energy) otherwise NaN the whole run irrecoverably, as they would in the
+    reference.  Healthy-step dynamics are bit-identical.
+    """
 
     def step(params, opt_state, key, x, y):
         (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, key, x, y
         )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, info
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if skip_nonfinite:
+            finite = jnp.all(
+                jnp.stack(
+                    [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+                )
+            )
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+            new_params = keep(new_params, params)
+            new_opt_state = keep(new_opt_state, opt_state)
+        return new_params, new_opt_state, loss, info
 
     return step
+
+
+def build_optimizer(lr: float, grad_clip: Optional[float] = None):
+    """Adam with optional global-norm gradient clipping (config 'grad_clip')."""
+    if grad_clip:
+        return optax.chain(
+            optax.clip_by_global_norm(float(grad_clip)), optax.adam(lr)
+        )
+    return optax.adam(lr)
 
 
 def make_epoch_fn(

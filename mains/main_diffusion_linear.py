@@ -44,7 +44,7 @@ def run(config: dict) -> tuple:
 
     resume = bool(config.get("resume_training", False))
     ckpt_dir = os.path.join(config["train_dir"], "checkpoint")
-    optimizer = optax.adam(float(config["lr"]))
+    optimizer = train.build_optimizer(float(config["lr"]), config.get("grad_clip"))
     opt_state, start_epoch = None, 0
     if resume and os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
         restored = checkpoints.load_checkpoint(

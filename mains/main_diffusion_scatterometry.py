@@ -48,7 +48,7 @@ def run(config: dict, gt_dir: str) -> tuple:
 
     resume = bool(config.get("resume_training", False))
     ckpt_dir = os.path.join(config["train_dir"], "checkpoint")
-    optimizer = optax.adam(float(config.get("lr", 1e-4)))
+    optimizer = train.build_optimizer(float(config.get("lr", 1e-4)), config.get("grad_clip"))
     opt_state, start_epoch = None, 0
     if resume and os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
         restored = checkpoints.load_checkpoint(

@@ -44,7 +44,7 @@ def main():
             loss_cfg, initial_condition=prob.score_posterior
         )
         params = model.init(k_init)
-        optimizer = optax.adam(float(config["lr"]))
+        optimizer = train.build_optimizer(float(config["lr"]), config.get("grad_clip"))
         epoch_fn = train.make_epoch_fn(
             loss_fn, optimizer,
             lambda k: data.linear_epoch_batches(

@@ -49,7 +49,7 @@ def main():
             forward_model=forward_model, forward_params=fparams,
         )
         params = model.init(k_init)
-        optimizer = optax.adam(float(config["lr"]))
+        optimizer = train.build_optimizer(float(config["lr"]), config.get("grad_clip"))
         epoch_fn = train.make_epoch_fn(
             loss_fn, optimizer,
             lambda k: data.scatterometry_epoch_batches(

@@ -111,3 +111,62 @@ def test_checkpoint_roundtrip(tmp_path, key):
     for a, b in zip(jax.tree_util.tree_leaves(opt_state),
                     jax.tree_util.tree_leaves(restored["opt_state"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plot_csv_and_metrics_roundtrip(tmp_path):
+    from dmip_tpu.utils import MetricsWriter
+    from dmip_tpu.utils.plotting import plot_csv
+
+    with MetricsWriter(str(tmp_path)) as w:
+        for i in range(120):
+            w.scalar("Train/Loss", 1.0 / (i + 1), i)
+    csv_path = tmp_path / "Train_Loss.csv"
+    assert csv_path.exists()
+    plot_csv(str(csv_path), str(tmp_path / "curve.svg"), labelsize=10,
+             max_step=100)
+    assert (tmp_path / "curve.svg").exists()
+
+
+def test_profiling_timeit():
+    import jax.numpy as jnp
+
+    from dmip_tpu.utils.profiling import timeit
+
+    f = jax.jit(lambda x: x * 2.0)
+    dt, out = timeit(f, jnp.ones((8,)), reps=2)
+    assert dt >= 0.0
+    np.testing.assert_allclose(out, 2.0)
+
+
+def test_skip_nonfinite_update(key):
+    """A batch with non-finite gradients must leave params/opt state
+    untouched; finite batches update normally."""
+    import jax.numpy as jnp
+
+    bad = {"w": jnp.ones(3)}
+
+    def loss_fn(params, k, x, y):
+        # loss is inf when x sums over threshold
+        scale = jnp.where(jnp.sum(x) > 1e5, jnp.inf, 1.0)
+        return jnp.sum(params["w"] ** 2) * scale, {}
+
+    opt = optax.adam(1e-1)
+    step = jax.jit(train.make_train_step(loss_fn, opt))
+    opt_state = opt.init(bad)
+    x_ok = jnp.ones((2, 2))
+    x_bad = jnp.full((2, 2), 1e6)
+    p1, s1, loss1, _ = step(bad, opt_state, key, x_ok, x_ok)
+    assert not np.allclose(np.asarray(p1["w"]), 1.0)  # updated
+    p2, s2, loss2, _ = step(bad, opt_state, key, x_bad, x_bad)
+    np.testing.assert_array_equal(np.asarray(p2["w"]), 1.0)  # skipped
+    assert not np.isfinite(float(loss2))
+
+
+def test_build_optimizer_clipping():
+    opt = train.build_optimizer(1e-3, grad_clip=1.0)
+    params = {"w": jnp.ones(4)}
+    state = opt.init(params)
+    g = {"w": jnp.full(4, 100.0)}
+    updates, _ = opt.update(g, state, params)
+    # clipped global norm -> update magnitude bounded by lr scale
+    assert np.abs(np.asarray(updates["w"])).max() <= 1e-2 + 1e-6
