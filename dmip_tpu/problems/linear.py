@@ -46,6 +46,22 @@ class LinearForwardProblem:
         return self.scale * jnp.eye(self.ydim)
 
     @property
+    def noise_std(self) -> float:
+        """Observation noise STANDARD DEVIATION consistent with Sigma.
+
+        DOCUMENTED DIVERGENCE (reference bug, SURVEY.md §2.3.11): the
+        reference's data loader adds ``scale * randn`` = std 0.3
+        (datasets.py:47, main_diffusion_linear.py:26) while every analytic
+        formula treats Sigma = scale * I = 0.3 I as the noise COVARIANCE
+        (std sqrt(0.3) ~= 0.548; linear_problem.py:18).  Training on the
+        mismatched noise makes every learned model over-concentrated versus
+        the analytic posterior (measured: KL 1.37 vs 0.02 for an otherwise
+        identical CDE+DSM run).  All drivers here train with this consistent
+        std.
+        """
+        return float(jnp.sqrt(self.scale))
+
+    @property
     def Sigma_inv(self) -> Array:
         return (1.0 / self.scale) * jnp.eye(self.ydim)
 

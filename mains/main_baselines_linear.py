@@ -51,7 +51,7 @@ def train_all(config, prob, snf, diffusion_pair, inn, x_train, y_train, key,
     diffusion, loss_cfg = diffusion_pair
     bs = int(config["batch_size"])
     batch_fn = lambda k: data.linear_epoch_batches(
-        k, x_train, y_train, prob.scale, bs
+        k, x_train, y_train, prob.noise_std, bs
     )
     logger = MetricsWriter(log_dir)
     k_snf, k_dsm, k_inn, key = jax.random.split(key, 4)

@@ -63,7 +63,7 @@ def run(config: dict) -> tuple:
         loss_fn,
         optimizer,
         lambda k: data.linear_epoch_batches(
-            k, x_train, y_train, prob.scale, int(config["batch_size"])
+            k, x_train, y_train, prob.noise_std, int(config["batch_size"])
         ),
         epochs_per_call=epc,
     )
