@@ -59,7 +59,9 @@ class LinearForwardProblem:
         identical CDE+DSM run).  All drivers here train with this consistent
         std.
         """
-        return float(jnp.sqrt(self.scale))
+        import math
+
+        return math.sqrt(self.scale)
 
     @property
     def Sigma_inv(self) -> Array:
