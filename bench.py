@@ -22,10 +22,8 @@ import json
 import os
 import sys
 import time
-from functools import partial
 
 import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

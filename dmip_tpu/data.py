@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from .problems import scatterometry as scat
 

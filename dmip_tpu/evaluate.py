@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import csv
 import os
-from functools import partial
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax

@@ -24,7 +24,7 @@ mean(0.5 ||z||^2 - logdet)  (models/INN.py:38-55, models/SNF.py:310-325).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,6 @@ Reference bug fixes (documented divergences, SURVEY.md §2.3):
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from .. import losses as L
 from .. import nets, samplers
-from ..sde import ReverseSDE, VPSDE, sample_t
+from ..sde import ReverseSDE, sample_t
 
 Array = jax.Array
 

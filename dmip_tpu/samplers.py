@@ -13,7 +13,6 @@ x <- x + delta * mu(t_i, x, y) + sqrt(delta) * sigma(t_i) * xi.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

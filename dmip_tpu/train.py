@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from . import data as data_mod
 from .models.diffusion import (
     CDE,
     CDiffE,

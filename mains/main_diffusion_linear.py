@@ -17,7 +17,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import optax
 
 from dmip_tpu import checkpoints, data, evaluate, train
 from dmip_tpu.problems import LinearForwardProblem

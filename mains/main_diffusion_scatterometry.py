@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
-import optax
 
 from dmip_tpu import checkpoints, data, evaluate, train
 from dmip_tpu.problems import scatterometry as scat

@@ -15,7 +15,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
-import optax
 
 from dmip_tpu import data, evaluate, gridsearch, train
 from dmip_tpu.problems import scatterometry as scat
