@@ -113,8 +113,7 @@ def make_eval_y_linear(
         nll_p = -jnp.mean(problem.posterior_log_prob(x_pred, y))
         return hist_t, hist_p, nll_t, nll_p, mse, x_pred, x_true
 
-    @jax.jit
-    def eval_y(params, key, y):
+    def eval_y_raw(params, key, y):
         keys = jax.random.split(key, n_repeats)
         hist_t, hist_p, nll_t, nll_p, mse, x_pred, x_true = jax.lax.map(
             lambda k: one_repeat(params, k, y), keys
@@ -130,6 +129,8 @@ def make_eval_y_linear(
             x_true_last=x_true[-1],
         )
 
+    eval_y = jax.jit(eval_y_raw)
+    eval_y.raw = eval_y_raw
     return eval_y
 
 
@@ -179,6 +180,55 @@ def make_eval_y_scatterometry(
         )
 
     return eval_y_repeat
+
+
+def make_eval_many_linear(
+    model: DiffusionModel,
+    problem,
+    n_samples_x: int,
+    n_repeats: int,
+    num_steps: int = 200,
+    nbins: int = 75,
+    xlim: Tuple[float, float] = (-3.5, 3.5),
+    mesh=None,
+    axis_name: str = "data",
+):
+    """Condition-sharded evaluation: vmap the per-y kernel over a chunk of
+    ys, optionally sharding the chunk over a device mesh.
+
+    The reference walks conditions one at a time on the host
+    (main_diffusion_linear.py:65); here a chunk of conditions evaluates in
+    one dispatch, and with a mesh each device owns chunk/n_devices
+    conditions (the framework's multi-chip scale axis, SURVEY.md §5).
+    Returns eval_many(params, keys, ys) -> per-y stat dict with leading axis
+    len(ys); chunk length must divide the mesh size when sharded.
+    """
+    eval_y = make_eval_y_linear(
+        model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim
+    )
+
+    def batched(params, keys, ys):
+        out = jax.vmap(
+            lambda k, y: {
+                kk: vv
+                for kk, vv in eval_y.raw(params, k, y).items()
+                if not kk.startswith("x_")
+            }
+        )(keys, ys)
+        return out
+
+    if mesh is None:
+        return jax.jit(batched)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sh = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        batched,
+        in_shardings=(repl, data_sh, data_sh),
+        out_shardings=repl,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,35 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 2)
     g.dryrun_multichip(8)
+
+
+def test_eval_many_linear_sharded(mesh, key):
+    """Condition-sharded evaluation matches the per-y path."""
+    from dmip_tpu.evaluate import make_eval_many_linear, make_eval_y_linear
+
+    prob = LinearForwardProblem()
+    model = CDE(2, 2, (16, 16))
+    params = model.init(key)
+    ys = prob.forward(jax.random.normal(key, (8, 2)))
+    keys = jax.random.split(jax.random.fold_in(key, 1), 8)
+
+    eval_many = make_eval_many_linear(
+        model, prob, n_samples_x=512, n_repeats=2, num_steps=10,
+        nbins=20, mesh=mesh,
+    )
+    data_sh = batch_sharding(mesh)
+    repl = replicate(mesh)
+    out = eval_many(
+        jax.device_put(params, repl),
+        jax.device_put(keys, data_sh),
+        jax.device_put(ys, data_sh),
+    )
+    assert out["kl"].shape == (8,)
+    assert np.all(np.isfinite(np.asarray(out["kl"])))
+
+    eval_y = make_eval_y_linear(model, prob, 512, 2, 10, 20)
+    single = eval_y(params, keys[3], ys[3])
+    np.testing.assert_allclose(float(out["kl"][3]), float(single["kl"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        float(out["mse_score"][3]), float(single["mse_score"]), rtol=1e-4)
