@@ -103,7 +103,11 @@ def make_eval_y_linear(
         t0 = jnp.zeros((n_samples_x, 1))
         g0 = base.g(t0)
         ys_tiled = jnp.broadcast_to(y, (n_samples_x, y.shape[-1]))
-        score_pred = model.apply_a(params, x_true, ys_tiled, t0) / g0
+        # CDiffE's joint net outputs xdim+ydim; score-MSE compares the
+        # x-block (the reference eval assumes CDE and would shape-error)
+        score_pred = (
+            model.apply_a(params, x_true, ys_tiled, t0) / g0
+        )[:, : x_true.shape[-1]]
         score_true = problem.score_posterior(x_true, ys_tiled)
         mse = jnp.mean(jnp.sum((score_pred - score_true) ** 2, axis=1))
 
@@ -166,7 +170,9 @@ def make_eval_y_scatterometry(
 
         t0 = jnp.zeros((x_true.shape[0], 1))
         g0 = base.g(t0)
-        score_pred = model.apply_a(params, x_true, ys_tiled, t0) / g0
+        score_pred = (
+            model.apply_a(params, x_true, ys_tiled, t0) / g0
+        )[:, : x_true.shape[-1]]
         score_true = score_posterior_fn(x_true, ys_tiled)
         mse = jnp.mean(jnp.sum((score_pred - score_true) ** 2, axis=1))
 
