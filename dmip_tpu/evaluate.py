@@ -76,6 +76,21 @@ def kl_pair(
 # ---------------------------------------------------------------------------
 
 
+def sliced_w2(key: Array, x: Array, y: Array, n_proj: int = 128) -> Array:
+    """Sliced 2-Wasserstein distance between two sample sets.
+
+    Beyond the reference's metric set (BASELINE.json's north star asks for
+    KL/W2 parity): average over random 1-D projections of the exact 1-D
+    W2 (sorted-quantile) distance.  Both sets must have equal size.
+    """
+    d = x.shape[-1]
+    dirs = jax.random.normal(key, (n_proj, d))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    px = jnp.sort(x @ dirs.T, axis=0)  # (n, n_proj)
+    py = jnp.sort(y @ dirs.T, axis=0)
+    return jnp.sqrt(jnp.mean((px - py) ** 2))
+
+
 def make_eval_y_linear(
     model: DiffusionModel,
     problem,
@@ -95,9 +110,10 @@ def make_eval_y_linear(
     base = model.sde.base
 
     def one_repeat(params, key, y):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         x_pred = model.sample(params, k1, y, n_samples_x, num_steps)
         x_true = problem.sample_posterior(k2, y, n_samples_x)
+        w2 = sliced_w2(k3, x_pred, x_true)
 
         # score MSE at t=0 vs analytic posterior score
         t0 = jnp.zeros((n_samples_x, 1))
@@ -115,11 +131,11 @@ def make_eval_y_linear(
         hist_p = histogramdd_flat(x_pred, nbins, lo, hi)
         nll_t = -jnp.mean(problem.posterior_log_prob(x_true, y))
         nll_p = -jnp.mean(problem.posterior_log_prob(x_pred, y))
-        return hist_t, hist_p, nll_t, nll_p, mse, x_pred, x_true
+        return hist_t, hist_p, nll_t, nll_p, mse, w2, x_pred, x_true
 
     def eval_y_raw(params, key, y):
         keys = jax.random.split(key, n_repeats)
-        hist_t, hist_p, nll_t, nll_p, mse, x_pred, x_true = jax.lax.map(
+        hist_t, hist_p, nll_t, nll_p, mse, w2, x_pred, x_true = jax.lax.map(
             lambda k: one_repeat(params, k, y), keys
         )
         kl, kl_rev = kl_pair(jnp.sum(hist_t, 0), jnp.sum(hist_p, 0))
@@ -129,6 +145,7 @@ def make_eval_y_linear(
             nll_true=jnp.mean(nll_t),
             nll_model=jnp.mean(nll_p),
             mse_score=jnp.mean(mse),
+            w2=jnp.mean(w2),
             x_pred_last=x_pred[-1],
             x_true_last=x_true[-1],
         )
@@ -275,7 +292,7 @@ def evaluate_linear(
     eval_y = make_eval_y_linear(
         model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim
     )
-    kl_vals, nll_true, nll_model, mse_vals = [], [], [], []
+    kl_vals, nll_true, nll_model, mse_vals, w2_vals = [], [], [], [], []
     for i in range(ys.shape[0]):
         key, k = jax.random.split(key)
         out = eval_y(params, k, ys[i])
@@ -283,6 +300,7 @@ def evaluate_linear(
         nll_true.append(float(out["nll_true"]))
         nll_model.append(float(out["nll_model"]))
         mse_vals.append(float(out["mse_score"]))
+        w2_vals.append(float(out["w2"]))
         if out_dir is not None and i in plot_ys:
             from .utils.plotting import plot_density
 
@@ -302,6 +320,7 @@ def evaluate_linear(
                 "NLL_true": nll_true,
                 "NLL_diffusion": nll_model,
                 "MSE": mse_vals,
+                "W2": w2_vals,
             },
         )
     if verbose:

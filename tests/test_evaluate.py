@@ -92,3 +92,18 @@ def test_evaluate_linear_perfect_score_low_kl(key, tmp_path):
     assert (tmp_path / "results.csv").exists()
     assert (tmp_path / "posterior-true-0.svg").exists()
     assert (tmp_path / "posterior-diffusion-0.svg").exists()
+
+
+def test_sliced_w2_properties(key):
+    from dmip_tpu.evaluate import sliced_w2
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (4000, 2))
+    y = jax.random.normal(k2, (4000, 2))
+    same = sliced_w2(k3, x, x)
+    np.testing.assert_allclose(float(same), 0.0, atol=1e-6)
+    close = float(sliced_w2(k3, x, y))
+    assert close < 0.1  # same distribution, finite-sample
+    shifted = float(sliced_w2(k3, x, y + 3.0))
+    # mean shift of norm 3*sqrt(2) appears as ~ projected shift
+    assert 1.5 < shifted < 4.5
