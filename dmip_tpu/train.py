@@ -158,6 +158,11 @@ def fit(
     ``epochs_per_call``.  ``logger``: optional
     :class:`dmip_tpu.utils.metrics.MetricsWriter`.  Returns (params,
     last_info).
+
+    NOTE: parameters advance in whole epochs_per_call chunks; if
+    (num_epochs - start_epoch) is not a multiple, training runs UP TO the
+    next chunk boundary (logging stops at num_epochs).  Pick divisible
+    combinations for exact epoch counts.
     """
     if opt_state is None:
         opt_state = optimizer.init(params)
