@@ -160,7 +160,7 @@ def _score_fpe_residual(
             div = divergence_hutchinson(fns.s_of_x, z, v_i)
         return div + jnp.sum(s**2) + jnp.dot(z, s)
 
-    grad_x = jax.grad(h)(z_t)
+    grad_x = jax.lax.stop_gradient(jax.grad(h)(z_t))
     return _ds_dt(fns, t_i) - 0.5 * beta_i * grad_x
 
 
@@ -201,11 +201,19 @@ def score_fpe_loss(
     probe_key: Optional[Array] = None,
     vtype: str = "rademacher",
     impl: str = "batched",
+    detach_grad_x: bool = True,
 ) -> Array:
     """Batched ScoreFPE PDE loss, per-sample values of shape (batch,).
 
     Reference ScoreFPELoss.forward (losses.py:77-98); the metric reduces the
     residual with a per-sample MEAN over dimensions (losses.py:92-95).
+
+    ``detach_grad_x=True`` (default) reproduces the reference's gradient
+    semantics exactly: its grad_x is computed with create_graph=False, so
+    the spatial term contributes no parameter gradient and training sees
+    the PDE residual only through ds/dt.  Set False for the full
+    (principled-PINN) third-order gradient path — a documented extension,
+    not reference behavior.
 
     impl='batched' (default) computes every derivative with BATCHED
     transforms — d basis JVPs for the exact divergence, one JVP in t, one
@@ -270,6 +278,12 @@ def score_fpe_loss(
         )
 
     grad_x = jax.grad(h_sum)(z_t)
+    if detach_grad_x:
+        # Reference parity: torch.autograd.grad(..., create_graph=False) at
+        # losses.py:89-90 makes the -beta/2 grad_x term a CONSTANT during
+        # backprop — parameter gradients flow only through ds/dt (and the
+        # |.| / (.)^2 metric evaluated at the full residual value).
+        grad_x = jax.lax.stop_gradient(grad_x)
     res = ds_dt - 0.5 * beta[:, None] * grad_x
     if metric == "L1":
         return jnp.mean(jnp.abs(res), axis=1)

@@ -24,14 +24,21 @@ EnergyFn = Callable[[Array], Array]
 
 
 def energy_grad(x: Array, energy: EnergyFn) -> Tuple[Array, Array]:
-    """(grad of energy, energy) at x — reference models/SNF.py:234-237."""
-    e, grad = jax.value_and_grad(lambda z: jnp.sum(energy(z)))(x)
-    return grad, energy(x)
+    """(grad of energy, per-sample energy) at x — reference models/SNF.py:234-237.
+
+    One forward + one backward pass (the per-sample energies ride along as
+    aux), vs the reference's separate evaluations.
+    """
+    def summed(z):
+        e = energy(z)
+        return jnp.sum(e), e
+
+    (_, e), grad = jax.value_and_grad(summed, has_aux=True)(x)
+    return grad, e
 
 
 def _energy_with_grad(x: Array, energy: EnergyFn) -> Tuple[Array, Array]:
-    e = energy(x)
-    grad = jax.grad(lambda z: jnp.sum(energy(z)))(x)
+    grad, e = energy_grad(x, energy)
     return grad, e
 
 

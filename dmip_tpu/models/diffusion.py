@@ -258,6 +258,11 @@ class PosteriorDiffusionEstimator(DiffusionModel):
         forward_model=None,
         forward_params=None,
     ):
+        if cfg.name != "PosteriorLoss":
+            raise ValueError(
+                "PosteriorDiffusionEstimator trains with the PosteriorLoss; "
+                f"got {cfg.name!r}"
+            )
         if forward_model is None or forward_params is None:
             raise ValueError("PosteriorDiffusionEstimator requires the forward model")
         base = self.sde.base

@@ -157,7 +157,8 @@ def fit(
     ``epoch_fn`` must come from :func:`make_epoch_fn` with the same
     ``epochs_per_call``.  ``logger``: optional
     :class:`dmip_tpu.utils.metrics.MetricsWriter`.  Returns (params,
-    last_info).
+    opt_state, last_info) — checkpoint opt_state alongside params for exact
+    resume.
 
     NOTE: parameters advance in whole epochs_per_call chunks; if
     (num_epochs - start_epoch) is not a multiple, training runs UP TO the
@@ -193,7 +194,7 @@ def fit(
                 flush=True,
             )
         last_info = {k: float(v[-1]) for k, v in infos.items()}
-    return params, last_info
+    return params, opt_state, last_info
 
 
 # ---------------------------------------------------------------------------
@@ -229,13 +230,18 @@ def get_model_from_args(
     )
 
     loss_name = config.get("loss_fn")
-    if name == "Posterior" and loss_name not in (
-        "PINNLoss",
-        "PINNLoss2",
-        "DSM_PDE",
-        "DSM",
-    ):
-        loss_name = "PosteriorLoss"
+    if name == "Posterior":
+        # The Posterior model trains only with the PosteriorLoss.  The
+        # reference factory (utils.py:34-47) lets other loss names through
+        # and then crashes in train_epoch on the mismatched signature; here
+        # a conflicting request is rejected up front.
+        if loss_name in (None, "PosteriorLoss"):
+            loss_name = "PosteriorLoss"
+        else:
+            raise ValueError(
+                "PosteriorDiffusionEstimator trains with the PosteriorLoss; "
+                f"got loss_fn={loss_name!r}"
+            )
     if loss_name is None:
         raise ValueError(
             'No valid loss_fn was specified. Options are: "PINNLoss", '

@@ -71,7 +71,7 @@ def run(config, gt_dir):
     opt = optax.adam(float(config["lr"]))
     snf_loss = lambda p, k, x, y: (flows.snf_ml_loss(snf, p, k, x, y), {})
     epoch_fn = train.make_epoch_fn(snf_loss, opt, batch_fn, epochs_per_call=5)
-    snf_params, _ = train.fit(
+    snf_params, _, _ = train.fit(
         epoch_fn, snf_params, opt, k_snf,
         num_epochs=int(config["n_epochs_SNF"]), epochs_per_call=5,
         logger=logger, desc="snf",
@@ -82,7 +82,7 @@ def run(config, gt_dir):
     epoch_fn = train.make_epoch_fn(
         diffusion.make_loss_fn(loss_cfg), opt_d, batch_fn, epochs_per_call=100
     )
-    d_params, _ = train.fit(
+    d_params, _, _ = train.fit(
         epoch_fn, d_params, opt_d, k_dsm,
         num_epochs=int(config["n_epochs_dsm"]), epochs_per_call=100,
         logger=logger, desc="diffusion",
@@ -92,7 +92,7 @@ def run(config, gt_dir):
     opt_i = optax.adam(float(config["lr_INN"]))
     inn_loss = lambda p, k, x, y: (flows.inn_ml_loss(inn, p, x, y), {})
     epoch_fn = train.make_epoch_fn(inn_loss, opt_i, batch_fn, epochs_per_call=25)
-    inn_params, _ = train.fit(
+    inn_params, _, _ = train.fit(
         epoch_fn, inn_params, opt_i, k_inn,
         num_epochs=int(config["n_epochs_INN"]), epochs_per_call=25,
         logger=logger, desc="inn",

@@ -70,14 +70,15 @@ def run(config: dict, gt_dir: str) -> tuple:
         epochs_per_call=epc,
     )
     with MetricsWriter(log_dir) as logger:
-        params, _ = train.fit(
+        params, opt_state, _ = train.fit(
             epoch_fn, params, optimizer, k_train,
             num_epochs=int(config["n_epochs"]), epochs_per_call=epc,
             logger=logger, desc="diffusion-scat", opt_state=opt_state,
             start_epoch=start_epoch,
         )
     checkpoints.save_checkpoint(
-        ckpt_dir, params, step=int(config["n_epochs"]), key=k_train
+        ckpt_dir, params, opt_state=opt_state,
+        step=int(config["n_epochs"]), key=k_train,
     )
 
     gt_loader = lambda i, j: np.load(os.path.join(gt_dir, str(i), f"{j}.npy"))

@@ -58,7 +58,7 @@ def main():
             epochs_per_call=epc,
         )
         with MetricsWriter(log_dir) as logger:
-            params, _ = train.fit(
+            params, _, _ = train.fit(
                 epoch_fn, params, optimizer, k_train,
                 num_epochs=int(config["n_epochs"]), epochs_per_call=epc,
                 logger=logger, desc=os.path.basename(train_dir),

@@ -315,3 +315,90 @@ def test_cscore_parity_with_torch_reference_graph(setup):
     torch_val = _torch_reference_cscore(params, x, y, eps, t, "L2")
     jax_val = L.cscore_fpe_loss(_apply, params, sde, x, eps, y, t, metric="L2")
     np.testing.assert_allclose(jax_val, torch_val, rtol=3e-3, atol=1e-5)
+
+
+def _torch_fpe_param_grads(params, x, y, eps, t, metric="L1"):
+    """Parameter gradients of mean(DSM + ScoreFPE) under the reference's
+    exact autograd graph (grad_x via create_graph=False => detached)."""
+    import torch
+
+    bmin, bmax = 0.1, 20.0
+    tt = torch.tensor(np.asarray(t), requires_grad=True)
+    xx = torch.tensor(np.asarray(x))
+    yy = torch.tensor(np.asarray(y))
+    ee = torch.tensor(np.asarray(eps))
+    layers = [
+        (torch.tensor(np.asarray(w), requires_grad=True),
+         torch.tensor(np.asarray(b), requires_grad=True))
+        for w, b in params
+    ]
+
+    def net(inp):
+        h = inp
+        for w, b in layers[:-1]:
+            h = torch.tanh(h @ w + b)
+        w, b = layers[-1]
+        return h @ w + b
+
+    beta = bmin + (bmax - bmin) * tt
+    int_beta = 0.5 * (bmax - bmin) * tt**2 + bmin * tt
+    alpha = torch.exp(-0.5 * int_beta)
+    std = torch.sqrt(1.0 - torch.exp(-int_beta))
+    g = torch.sqrt(beta)
+    x_t = alpha * xx + std * ee
+    x_t.retain_grad()
+    s = net(torch.cat([x_t, yy, tt], dim=1)) / g
+    dsm = 0.5 * torch.sum((s * std + ee) ** 2, dim=1)
+
+    div = 0.0
+    for i in range(s.shape[1]):
+        gr = torch.autograd.grad(
+            s[:, i], x_t, torch.ones_like(s[:, i]),
+            create_graph=True, retain_graph=True,
+        )[0][:, i : i + 1]
+        div = div + gr
+    ds_dt = torch.zeros_like(s)
+    for i in range(s.shape[1]):
+        d = torch.autograd.grad(
+            s[:, i].sum(), tt, retain_graph=True, create_graph=True
+        )[0]
+        ds_dt[:, i] = d.view(-1)
+    quad = div + torch.sum(s**2, dim=1, keepdim=True) + torch.sum(
+        x_t * s, dim=1, keepdim=True
+    )
+    # create_graph defaults to False -> grad_x is DETACHED (reference
+    # losses.py:89-90)
+    grad_x = torch.autograd.grad(
+        quad, x_t, torch.ones_like(div), retain_graph=True
+    )[0]
+    res = ds_dt - 0.5 * beta * grad_x
+    pde = torch.mean(torch.abs(res) if metric == "L1" else res**2, dim=1)
+    loss = torch.mean(dsm + 0.3 * pde)
+    loss.backward()
+    return float(loss.detach()), [
+        (w.grad.numpy(), b.grad.numpy()) for w, b in layers
+    ]
+
+
+@pytest.mark.parametrize("metric", ["L1", "L2"])
+def test_fpe_parameter_gradient_parity_with_torch(setup, metric):
+    """The DEFAULT (detach_grad_x=True) path must match the reference's
+    parameter gradients, not just loss values — the reference's grad_x term
+    is constant during backprop (create_graph=False)."""
+    params, x, y, eps, t = setup
+    sde = VPSDE()
+    torch_loss, torch_grads = _torch_fpe_param_grads(params, x, y, eps, t,
+                                                     metric)
+
+    def jax_loss(p):
+        z_t = sde.diffuse(t, x, eps)
+        score = _apply(p, z_t, y, t) / sde.g(t)
+        dsm = L.dsm_loss(score, sde.std(t), eps)
+        pde = L.score_fpe_loss(_apply, p, sde, x, eps, y, t, metric=metric)
+        return jnp.mean(dsm + 0.3 * pde)
+
+    np.testing.assert_allclose(float(jax_loss(params)), torch_loss, rtol=3e-4)
+    grads = jax.grad(jax_loss)(params)
+    for (jw, jb), (tw, tb) in zip(grads, torch_grads):
+        np.testing.assert_allclose(jw, tw, rtol=5e-3, atol=3e-6)
+        np.testing.assert_allclose(jb, tb, rtol=5e-3, atol=3e-6)

@@ -104,7 +104,7 @@ def test_run_grid_search_linear_tiny(tmp_path, monkeypatch):
             lambda k: data.linear_epoch_batches(k, x_tr, y_tr, prob.scale, 500),
             epochs_per_call=2,
         )
-        params, _ = train.fit(
+        params, _, _ = train.fit(
             epoch_fn, params, opt, key, num_epochs=4, epochs_per_call=2,
             log_every=0,
         )

@@ -82,7 +82,7 @@ def test_fit_runs_and_logs(key, tmp_path):
     epoch_fn = train.make_epoch_fn(loss_fn, opt, batch_fn, epochs_per_call=3)
     params = model.init(key)
     with MetricsWriter(str(tmp_path)) as logger:
-        params, info = train.fit(
+        params, _opt, info = train.fit(
             epoch_fn, params, opt, key, num_epochs=7, epochs_per_call=3,
             log_every=0, logger=logger,
         )
@@ -170,3 +170,36 @@ def test_build_optimizer_clipping():
     updates, _ = opt.update(g, state, params)
     # clipped global norm -> update magnitude bounded by lr scale
     assert np.abs(np.asarray(updates["w"])).max() <= 1e-2 + 1e-6
+
+
+def test_resume_is_exact(key, tmp_path):
+    """Checkpoint at epoch 3 of 6 and resume: parameters must match an
+    uninterrupted 6-epoch run bit-for-bit (fold_in key schedule +
+    opt_state restore)."""
+    prob, xs, ys, model, loss_fn = _setup(key)
+    opt = optax.adam(1e-3)
+    batch_fn = lambda k: data.linear_epoch_batches(k, xs, ys, prob.noise_std,
+                                                   500)
+    epoch_fn = train.make_epoch_fn(loss_fn, opt, batch_fn, epochs_per_call=3,
+                                   donate=False)
+    master = jax.random.PRNGKey(11)
+    p0 = model.init(key)
+
+    # uninterrupted
+    p_full, s_full, _ = train.fit(epoch_fn, p0, opt, master, num_epochs=6,
+                                  epochs_per_call=3, log_every=0)
+
+    # interrupted at 3 + checkpoint + restore
+    p_half, s_half, _ = train.fit(epoch_fn, p0, opt, master, num_epochs=3,
+                                  epochs_per_call=3, log_every=0)
+    checkpoints.save_checkpoint(str(tmp_path), p_half, s_half, step=3,
+                                key=master)
+    restored = checkpoints.load_checkpoint(str(tmp_path), p_half, s_half)
+    p_res, s_res, _ = train.fit(
+        epoch_fn, restored["params"], opt, restored["key"], num_epochs=6,
+        epochs_per_call=3, log_every=0, opt_state=restored["opt_state"],
+        start_epoch=restored["step"],
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
