@@ -221,7 +221,32 @@ class CDiffE(DiffusionModel):
         mean: float = 0.0,
         std: float = 1.0,
         dtype=jnp.float32,
+        method: str = "auto",
     ) -> Array:
+        if method == "auto":
+            method = (
+                "pallas"
+                if jax.default_backend() == "tpu" and isinstance(params, tuple)
+                else "xla"
+            )
+        if method == "pallas":
+            from ..ops.em_kernel import fused_em_sampler_cdiffe
+
+            k0, ks = jax.random.split(key)
+            x0 = (
+                jax.random.normal(k0, (num_samples, self.xdim), jnp.float32)
+                * std
+                + mean
+            )
+            seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max)
+            base = self.sde.base
+            return fused_em_sampler_cdiffe(
+                params, x0, y, self.xdim, num_steps,
+                T=self.sde.T, beta_min=base.beta_min, beta_max=base.beta_max,
+                seed=seed,
+                compute_dtype=jnp.bfloat16 if dtype == jnp.bfloat16
+                else jnp.float32,
+            ).astype(dtype)
         drift = lambda z, c, s: self.apply_a(params, z, c, s)
         return samplers.euler_maruyama_cdiffe(
             self.sde, drift, key, y, num_samples, self.xdim, num_steps,

@@ -138,6 +138,192 @@ def _em_kernel(
     out_ref[:] = jax.lax.fori_loop(0, num_steps, step, x0)
 
 
+def _em_cdiffe_kernel(
+    seed_ref,
+    x0_ref,
+    y_ref,
+    w1x_ref,
+    w1y_ref,
+    w1t_ref,
+    b1_ref,
+    *rest_refs,
+    num_steps: int,
+    n_rest: int,
+    T: float,
+    beta_min: float,
+    beta_max: float,
+    lmbd: float,
+    noise_scale: float,
+    compute_dtype,
+):
+    """CDiffE variant: per step, re-diffuse the observed y to time T - t
+    (fresh in-kernel noise), feed [x, y_t, t] through the joint net, and
+    advance only the x block (models/diffusion.py:158-180; output weights
+    are pre-sliced to the x block outside).
+    """
+    out_ref = rest_refs[-1]
+    layer_refs = rest_refs[:-1]
+
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    x0 = x0_ref[:]  # (B, xdim) f32
+    y0 = y_ref[:]  # (1, ydim) f32
+    w1x = w1x_ref[:]  # (xdim, H1) compute_dtype
+    w1y = w1y_ref[:]  # (ydim, H1) compute_dtype
+    w1t = w1t_ref[:]  # (1, H1) f32
+    b1 = b1_ref[:]  # (1, H1) f32
+
+    delta = T / num_steps
+    sqrt_delta = delta**0.5
+    bd = beta_max - beta_min
+
+    def tail(h):
+        for i in range(n_rest - 1):
+            w = layer_refs[2 * i][:]
+            b = layer_refs[2 * i + 1][:]
+            acc = jax.lax.dot_general(
+                h, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h = jnp.tanh(acc + b).astype(compute_dtype)
+        w = layer_refs[2 * (n_rest - 1)][:]
+        b = layer_refs[2 * (n_rest - 1) + 1][:]
+        acc = jax.lax.dot_general(
+            h, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc + b  # (B, xdim) f32
+
+    def step(i, x):
+        t = (i.astype(jnp.float32) / num_steps) * T
+        s = T - t
+        beta_s = beta_min + bd * s
+        g = jnp.sqrt(beta_s)
+        # y_t = alpha(s) y0 + std(s) eps_y  (fresh noise per step)
+        int_beta = 0.5 * bd * s**2 + beta_min * s
+        alpha = jnp.exp(-0.5 * int_beta)
+        std_s = jnp.sqrt(1.0 - jnp.exp(-int_beta))
+        eps_y = noise_scale * _box_muller((x.shape[0], y0.shape[1]))
+        y_t = alpha * y0 + std_s * eps_y  # broadcast (B, ydim)
+        acc = jax.lax.dot_general(
+            x.astype(compute_dtype), w1x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            y_t.astype(compute_dtype), w1y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h = jnp.tanh(acc + s * w1t + b1).astype(compute_dtype)
+        a_x = tail(h)
+        mu = (1.0 - 0.5 * lmbd) * g * a_x + 0.5 * beta_s * x
+        if noise_scale == 0.0:
+            return x + delta * mu
+        sigma = (1.0 - lmbd) ** 0.5 * g
+        noise = noise_scale * _box_muller(x.shape)
+        return x + delta * mu + sqrt_delta * sigma * noise
+
+    out_ref[:] = jax.lax.fori_loop(0, num_steps, step, x0)
+
+
+def fused_em_sampler_cdiffe(
+    params: Sequence[Tuple[Array, Array]],
+    x0: Array,
+    y: Array,
+    xdim: int,
+    num_steps: int = 200,
+    T: float = 1.0,
+    beta_min: float = 0.1,
+    beta_max: float = 20.0,
+    lmbd: float = 0.0,
+    seed: int | Array = 0,
+    block_rows: int = 1024,
+    compute_dtype=jnp.bfloat16,
+    noise_scale: float = 1.0,
+    interpret=False,
+) -> Array:
+    """Fused CDiffE sampler: joint net [x, y_t, t] -> (xdim + ydim), with the
+    condition re-diffused in-kernel each step and only the x block advanced.
+
+    params: joint MLP (layer 0 consumes xdim + ydim + 1 inputs, output
+    xdim + ydim); the output layer is pre-sliced to its x block here.
+    """
+    (w1, b1) = params[0]
+    n = x0.shape[0]
+    ydim = w1.shape[0] - xdim - 1
+
+    w1x = w1[:xdim]
+    w1y = w1[xdim : xdim + ydim]
+    w1t = w1[xdim + ydim :].reshape(1, -1)
+    y_row = jnp.asarray(y, jnp.float32).reshape(1, ydim)
+
+    if n % block_rows != 0:
+        pad = (-n) % block_rows
+        x0 = jnp.pad(x0, ((0, pad), (0, 0)))
+    n_padded = x0.shape[0]
+
+    layer_specs = []
+    layer_args = []
+    mids = params[1:-1]
+    for (w, b) in mids:
+        layer_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        layer_args += [
+            w.astype(compute_dtype), b.reshape(1, -1).astype(jnp.float32)
+        ]
+    w_out, b_out = params[-1]
+    layer_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    layer_args += [
+        w_out[:, :xdim].astype(compute_dtype),
+        b_out[:xdim].reshape(1, -1).astype(jnp.float32),
+    ]
+
+    kernel = functools.partial(
+        _em_cdiffe_kernel,
+        num_steps=num_steps,
+        n_rest=len(params) - 1,
+        T=T,
+        beta_min=beta_min,
+        beta_max=beta_max,
+        lmbd=lmbd,
+        noise_scale=noise_scale,
+        compute_dtype=compute_dtype,
+    )
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_padded // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, xdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(),  # y row
+            full(),  # w1x
+            full(),  # w1y
+            full(),  # w1t
+            full(),  # b1
+            *layer_specs,
+        ],
+        out_specs=pl.BlockSpec((block_rows, xdim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_padded, xdim), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        x0.astype(jnp.float32),
+        y_row,
+        w1x.astype(compute_dtype),
+        w1y.astype(compute_dtype),
+        w1t.astype(jnp.float32),
+        b1.reshape(1, -1).astype(jnp.float32),
+        *layer_args,
+    )
+    return out[:n]
+
+
 def fused_em_sampler(
     params: Sequence[Tuple[Array, Array]],
     x0: Array,

@@ -81,8 +81,12 @@ def euler_maruyama_cdiffe(
     std: float = 1.0,
     lmbd: float = 0.0,
     dtype=jnp.float32,
+    noise_scale: float = 1.0,
 ) -> Array:
     """CDiffE sampler: joint-state reverse SDE with re-diffused condition.
+
+    ``noise_scale=0`` zeroes BOTH the per-step y re-diffusion noise and the
+    integrator noise (deterministic testing hook, mirrors euler_maruyama).
 
     Mirrors CDiffE.forward (models/diffusion.py:158-180): each step diffuses
     the OBSERVED y forward to time T - t_i, concatenates [x_t, y_t], and takes
@@ -105,13 +109,13 @@ def euler_maruyama_cdiffe(
         t_i, kd, kn = inp
         # re-diffuse the observed y to time T - t_i (models/diffusion.py:172)
         s = sde.T - t_i
-        eps_y = jax.random.normal(kd, z0.shape, dtype)
+        eps_y = noise_scale * jax.random.normal(kd, z0.shape, dtype)
         y_t = (sde.base.mean_weight(s) * z0 + sde.base.std(s) * eps_y)[:, xdim:]
         z_t = jnp.concatenate([x, y_t], axis=1)
         t_col = jnp.full((num_samples, 1), t_i, dtype)
         mu = sde.mu(lambda xx, cc, ss: drift_a(xx, cc, ss), t_col, z_t, None, lmbd)
         sigma = sde.sigma(t_col, lmbd)
-        noise = jax.random.normal(kn, z_t.shape, dtype)
+        noise = noise_scale * jax.random.normal(kn, z_t.shape, dtype)
         z_next = z_t + delta * mu + jnp.sqrt(delta) * sigma * noise
         return z_next[:, :xdim].astype(dtype), None
 

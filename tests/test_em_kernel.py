@@ -70,3 +70,31 @@ def test_lmbd_deterministic_scaling(key):
         np.testing.assert_allclose(
             np.asarray(x_ref), np.asarray(x_pal), rtol=1e-4, atol=1e-4
         )
+
+
+def test_cdiffe_deterministic_parity(key):
+    """Fused CDiffE kernel vs XLA CDiffE scan at noise_scale=0 (both the
+    re-diffusion and integrator noise zeroed): exact trajectories."""
+    from dmip_tpu.ops.em_kernel import fused_em_sampler_cdiffe
+    from dmip_tpu.samplers import euler_maruyama_cdiffe
+
+    xdim, ydim = 2, 2
+    params = mlp_init(jax.random.PRNGKey(0), xdim + ydim + 1, xdim + ydim,
+                      (64, 64))
+    apply_a = lambda z, c, s: score_mlp_apply(params, z, c, s)
+    sde = ReverseSDE()
+    y = jnp.array([0.8, -0.3])
+    N = 512
+    x_ref = euler_maruyama_cdiffe(sde, apply_a, key, y, N, xdim, 40,
+                                  noise_scale=0.0)
+    k0, _ = jax.random.split(key, 2)[:2]
+    k0 = jax.random.split(key, 3)[0]
+    x0 = jax.random.normal(k0, (N, xdim))
+    x_pal = fused_em_sampler_cdiffe(
+        params, x0, y, xdim, num_steps=40, seed=7, block_rows=256,
+        compute_dtype=jnp.float32, noise_scale=0.0,
+        interpret=pltpu.InterpretParams(),
+    )
+    ref = np.asarray(x_ref)
+    rel = np.abs(ref - np.asarray(x_pal)).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 1e-4, rel
