@@ -41,8 +41,15 @@ def should_skip(
     cfg: Dict[str, Any], already_visited: List[Tuple[Any, Any]]
 ) -> bool:
     """Invalid-combo skipping + DSM_PDE dedup (model_selection.py:20-26):
-    cScoreFPE has no L1 PDE-metric variant in the search, and DSM_PDE trials
-    are keyed by (lam, pde_metric) only (lam2/ic_metric don't apply)."""
+    cScoreFPE has no L1 PDE-metric variant in the search, and duplicate
+    DSM_PDE trials are deduped by (lam, pde_metric, pde_loss) — lam2 and
+    ic_metric don't apply to DSM_PDE.
+
+    Documented divergence from the reference: model_selection.py:23-26 keys
+    by (lam, pde_metric) only, so its grid silently drops e.g. the
+    (cScoreFPE, DSM_PDE, L2, lam) trial whenever the same (lam, L2) was
+    already run with pde_loss=FPE.  Including pde_loss in the key runs every
+    distinct DSM_PDE configuration exactly once (a reference bug fix, kept)."""
     if cfg.get("pde_metric") == "L1" and cfg.get("pde_loss") == "cScoreFPE":
         return True
     if cfg.get("loss_fn") == "DSM_PDE":

@@ -149,6 +149,7 @@ def _score_fpe_residual(
     t_i: Array,
     beta_i: Array,
     v_i: Optional[Array],
+    detach_grad_x: bool = True,
 ) -> Array:
     """Per-sample ScoreFPE residual ds/dt - beta/2 * grad_x(div s + ||s||^2 + x.s)."""
 
@@ -160,7 +161,9 @@ def _score_fpe_residual(
             div = divergence_hutchinson(fns.s_of_x, z, v_i)
         return div + jnp.sum(s**2) + jnp.dot(z, s)
 
-    grad_x = jax.lax.stop_gradient(jax.grad(h)(z_t))
+    grad_x = jax.grad(h)(z_t)
+    if detach_grad_x:
+        grad_x = jax.lax.stop_gradient(grad_x)
     return _ds_dt(fns, t_i) - 0.5 * beta_i * grad_x
 
 
@@ -236,7 +239,9 @@ def score_fpe_loss(
             fns = make_score_fns(
                 apply_a, params, base_sde, z0_i, eps_i, cond_i, t_i
             )
-            res = _score_fpe_residual(fns, z_t_i, t_i, beta_i, v_i)
+            res = _score_fpe_residual(
+                fns, z_t_i, t_i, beta_i, v_i, detach_grad_x=detach_grad_x
+            )
             return _reduce_metric(res, metric)
 
         in_axes = (

@@ -38,20 +38,34 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _uniform_from_i24(i24: Array) -> Array:
+    """int32 in [0, 2^24) -> float32 uniform in (0, 1].
+
+    Pure math, shared by the in-kernel path and the host-side unit tests
+    (tests/test_em_kernel.py): scale the 24-bit integer and add 1 ulp so
+    log() never sees 0.
+    """
+    return i24.astype(jnp.float32) * (1.0 / (1 << 24)) + (2.0 ** -24)
+
+
+def _normal_from_uniforms(u1: Array, u2: Array) -> Array:
+    """Box-Muller: two (0, 1] uniforms -> one standard normal (pure math)."""
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * jnp.pi) * u2)
+
+
 def _uniform_from_bits(bits: Array) -> Array:
     """uint32 random bits -> float32 uniform in (0, 1]."""
-    # top 24 bits; +1 ulp so log() never sees 0.  Mosaic has no uint32->f32
-    # cast; >>8 clears the sign bit so the int32 view is exact.
-    i24 = pltpu.bitcast(bits >> 8, jnp.int32)
-    return i24.astype(jnp.float32) * (1.0 / (1 << 24)) + (2.0 ** -24)
+    # top 24 bits; Mosaic has no uint32->f32 cast; >>8 clears the sign bit
+    # so the int32 view is exact.
+    return _uniform_from_i24(pltpu.bitcast(bits >> 8, jnp.int32))
 
 
 def _box_muller(shape) -> Array:
     """Standard normal via Box-Muller from the seeded TPU PRNG."""
     u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
     u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos((2.0 * jnp.pi) * u2)
+    return _normal_from_uniforms(u1, u2)
 
 
 def _em_kernel(

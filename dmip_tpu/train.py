@@ -125,14 +125,27 @@ def make_epoch_fn(
         mean_info = {k: jnp.mean(v) for k, v in infos.items()}
         return (params, opt_state), (jnp.mean(losses), mean_info)
 
-    def epochs(params, opt_state, key, epoch0):
+    def masked_epoch(carry, inp):
+        # Epochs at j >= n_active are computed but their updates discarded:
+        # the final chunk of a non-divisible num_epochs stops EXACTLY at
+        # num_epochs without recompiling for the remainder length.
+        j, ekey, n_active = inp
+        new_carry, out = one_epoch(carry, ekey)
+        active = j < n_active
+        keep = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new_carry, carry
+        )
+        return keep, out
+
+    def epochs(params, opt_state, key, epoch0, n_active=epochs_per_call):
         # fold_in(master, global_epoch_index): the key schedule is invariant
         # to epochs_per_call chunking, so resume and re-chunking are exact.
-        keys = jax.vmap(lambda j: jax.random.fold_in(key, epoch0 + j))(
-            jnp.arange(epochs_per_call)
-        )
+        js = jnp.arange(epochs_per_call)
+        keys = jax.vmap(lambda j: jax.random.fold_in(key, epoch0 + j))(js)
         (params, opt_state), (losses, infos) = jax.lax.scan(
-            one_epoch, (params, opt_state), keys
+            masked_epoch,
+            (params, opt_state),
+            (js, keys, jnp.broadcast_to(n_active, js.shape)),
         )
         return params, opt_state, losses, infos
 
@@ -160,10 +173,9 @@ def fit(
     opt_state, last_info) — checkpoint opt_state alongside params for exact
     resume.
 
-    NOTE: parameters advance in whole epochs_per_call chunks; if
-    (num_epochs - start_epoch) is not a multiple, training runs UP TO the
-    next chunk boundary (logging stops at num_epochs).  Pick divisible
-    combinations for exact epoch counts.
+    Parameters advance EXACTLY (num_epochs - start_epoch) epochs: the final
+    chunk of a non-divisible combination masks the surplus epochs' updates
+    inside the jitted scan (no recompile, same key schedule).
     """
     if opt_state is None:
         opt_state = optimizer.init(params)
@@ -172,8 +184,10 @@ def fit(
     n_calls = -(-max(num_epochs - start_epoch, 0) // epochs_per_call)
     epoch = start_epoch
     for c in range(n_calls):
+        n_active = min(epochs_per_call, num_epochs - epoch)
         params, opt_state, losses, infos = epoch_fn(
-            params, opt_state, key, jnp.asarray(epoch, jnp.int32)
+            params, opt_state, key, jnp.asarray(epoch, jnp.int32),
+            jnp.asarray(n_active, jnp.int32),
         )
         losses = jax.device_get(losses)
         infos = jax.device_get(infos)

@@ -98,3 +98,48 @@ def test_cdiffe_deterministic_parity(key):
     ref = np.asarray(x_ref)
     rel = np.abs(ref - np.asarray(x_pal)).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 1e-4, rel
+
+
+def test_uniform_from_i24_range_and_mapping():
+    """Host-side check of the in-kernel bits->uniform math on synthetic
+    values (ADVICE r1: interpret-mode PRNG returns zeros, so the Box-Muller
+    path was otherwise untested in CI)."""
+    from dmip_tpu.ops.em_kernel import _uniform_from_i24
+
+    # The kernel feeds (bits >> 8) viewed as int32: always in [0, 2^24).
+    i24 = jnp.asarray([0, 1, (1 << 24) - 1], jnp.int32)
+    u = np.asarray(_uniform_from_i24(i24))
+    # bits=0 maps to 1 ulp (never 0, so log(u) is finite); max maps to 1.0
+    assert u[0] == 2.0 ** -24
+    np.testing.assert_allclose(u[1], 2.0 ** -24 * 2)
+    np.testing.assert_allclose(u[2], 1.0, rtol=1e-7)
+    assert np.all(u > 0.0) and np.all(u <= 1.0)
+
+    # Full synthetic uint32 draw through the same >>8 view the kernel uses.
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2**32, size=200_000, dtype=np.uint32)
+    i24 = jnp.asarray((bits >> 8).astype(np.int32))
+    u = np.asarray(_uniform_from_i24(i24))
+    assert u.min() > 0.0 and u.max() <= 1.0
+    np.testing.assert_allclose(u.mean(), 0.5, atol=5e-3)
+    np.testing.assert_allclose(u.var(), 1.0 / 12.0, rtol=2e-2)
+
+
+def test_box_muller_moments_on_synthetic_bits():
+    """Box-Muller math on host-generated uniforms: mean/var/skew/tail of a
+    standard normal, independent of the Pallas PRNG."""
+    from dmip_tpu.ops.em_kernel import _normal_from_uniforms, _uniform_from_i24
+
+    rng = np.random.default_rng(1)
+    n = 500_000
+    bits1 = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    bits2 = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    u1 = _uniform_from_i24(jnp.asarray((bits1 >> 8).astype(np.int32)))
+    u2 = _uniform_from_i24(jnp.asarray((bits2 >> 8).astype(np.int32)))
+    z = np.asarray(_normal_from_uniforms(u1, u2))
+    assert np.all(np.isfinite(z))
+    np.testing.assert_allclose(z.mean(), 0.0, atol=6e-3)
+    np.testing.assert_allclose(z.var(), 1.0, rtol=1e-2)
+    np.testing.assert_allclose(np.mean(z**3), 0.0, atol=2e-2)
+    # P(|z| > 1.96) ~ 0.05 for a standard normal
+    np.testing.assert_allclose(np.mean(np.abs(z) > 1.96), 0.05, atol=3e-3)

@@ -133,3 +133,52 @@ def test_eval_many_linear_sharded(mesh, key):
                                rtol=1e-4)
     np.testing.assert_allclose(
         float(out["mse_score"][3]), float(single["mse_score"]), rtol=1e-4)
+
+
+def test_dryrun_multichip_from_initialized_1device_parent():
+    """Reproduce the DRIVER environment (round-1 MULTICHIP failure): a parent
+    process whose JAX backend is already initialized with ONE device calls
+    dryrun_multichip(8).  The entry must detect the shortfall and re-exec a
+    fresh subprocess onto an 8-device virtual CPU platform (it cannot fix the
+    parent: --xla_force_host_platform_device_count is read at backend init).
+
+    The parent here deliberately does NOT get conftest's device-count flag,
+    so jax.devices() is initialized at 1 before dryrun_multichip runs —
+    exactly the driver's TPU-tunnel state.
+    """
+    import os
+    import re
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", ""),
+    ).strip()
+    env.pop("_DMIP_MULTICHIP_CHILD", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = [repo] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    env["PYTHONPATH"] = os.pathsep.join(dict.fromkeys(pypath))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "n = len(jax.devices())\n"  # initializes the backend at 1 device
+            "assert n == 1, f'expected 1-device parent, got {n}'\n"
+            "import __graft_entry__ as g\n"
+            "g.dryrun_multichip(8)\n",
+        ],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert "dryrun_multichip(8) OK" in proc.stdout

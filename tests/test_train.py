@@ -203,3 +203,29 @@ def test_resume_is_exact(key, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p_full),
                     jax.tree_util.tree_leaves(p_res)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_exact_epochs_on_partial_final_chunk(key):
+    """num_epochs NOT divisible by epochs_per_call must advance parameters
+    EXACTLY num_epochs epochs (round-1 footgun: it rounded up to the chunk
+    boundary).  fit(7 epochs, chunks of 3) == fit(7 epochs, chunks of 1)."""
+    prob, xs, ys, model, loss_fn = _setup(key)
+    opt = optax.adam(1e-3)
+    batch_fn = lambda k: data.linear_epoch_batches(k, xs, ys, prob.noise_std,
+                                                   500)
+    master = jax.random.PRNGKey(3)
+    p0 = model.init(key)
+
+    chunked = train.make_epoch_fn(loss_fn, opt, batch_fn, epochs_per_call=3,
+                                  donate=False)
+    p_c, _, _ = train.fit(chunked, p0, opt, master, num_epochs=7,
+                          epochs_per_call=3, log_every=0)
+
+    stepwise = train.make_epoch_fn(loss_fn, opt, batch_fn, epochs_per_call=1,
+                                   donate=False)
+    p_s, _, _ = train.fit(stepwise, p0, opt, master, num_epochs=7,
+                          epochs_per_call=1, log_every=0)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_c),
+                    jax.tree_util.tree_leaves(p_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
