@@ -9,7 +9,7 @@ coupling math is implemented directly with exact log-determinants:
   split x -> (x1, x2) with len1 = d // 2;
   r2 = subnet2([x2, c]);  s2, t2 = split(r2);  y1 = e(s2) * x1 + t2
   r1 = subnet1([y1, c]);  s1, t1 = split(r1);  y2 = e(s1) * x2 + t1
-  log_e(s) = clamp * 0.636 * atan(s / clamp)   (FrEIA's soft clamp)
+  log_e(s) = clamp * 0.636 * atan(s)   (FrEIA 0.2's ATAN soft clamp)
   log|det J| = sum(log_e(s1)) + sum(log_e(s2))
 
 The SNF composes these deterministic blocks with stochastic MCMC / MALA /
@@ -38,7 +38,16 @@ _CLAMP_GAIN = 0.636  # FrEIA's 2/pi approximation
 
 
 def _log_e(s: Array, clamp: float) -> Array:
-    return clamp * _CLAMP_GAIN * jnp.arctan(s / clamp)
+    """FrEIA 0.2 soft clamp: clamp * 0.636 * atan(s), bounded in (-clamp, clamp).
+
+    The reference pins FrEIA==0.2 (requirements.txt:31), whose refactored
+    ``_BaseCouplingBlock`` applies ``self.clamp * self.f_clamp(s)`` with
+    ``f_clamp = 0.636 * atan(u)`` for the default "ATAN" activation — the
+    argument is NOT pre-divided by clamp (that was the pre-0.2 form
+    ``clamp * 0.636 * atan(s / clamp)``).  Parity with a vendored v0.2 torch
+    mirror is asserted in tests/test_flows.py.
+    """
+    return clamp * _CLAMP_GAIN * jnp.arctan(s)
 
 
 def subnet_init(key: Array, c_in: int, c_out: int, width: int):
