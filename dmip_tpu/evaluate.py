@@ -177,8 +177,7 @@ def make_eval_y_scatterometry(
     base = model.sde.base
     a, b, lambd_bd = fparams["a"], fparams["b"], fparams["lambd_bd"]
 
-    @jax.jit
-    def eval_y_repeat(params, key, y, x_true):
+    def eval_y_repeat_raw(params, key, y, x_true):
         ys_tiled = jnp.broadcast_to(y, (n_samples_x, y.shape[-1]))
         energy = lambda x: get_log_posterior(
             x, forward_model, a, b, ys_tiled, lambd_bd
@@ -202,6 +201,8 @@ def make_eval_y_scatterometry(
             nll_model=nll_p, mse_score=mse, x_pred=x_pred,
         )
 
+    eval_y_repeat = jax.jit(eval_y_repeat_raw)
+    eval_y_repeat.raw = eval_y_repeat_raw
     return eval_y_repeat
 
 
@@ -254,6 +255,57 @@ def make_eval_many_linear(
     )
 
 
+def make_eval_many_scatterometry(
+    model: DiffusionModel,
+    forward_model: Callable[[Array], Array],
+    fparams: Dict[str, float],
+    score_posterior_fn,
+    n_samples_x: int,
+    num_steps: int = 200,
+    nbins: int = 75,
+    xlim: Tuple[float, float] = (-1.2, 1.2),
+    mesh=None,
+    axis_name: str = "data",
+):
+    """Condition-sharded scatterometry evaluation: vmap the per-(y, repeat)
+    kernel over a chunk of conditions, sharding the chunk over a mesh.
+
+    The reference walks (condition, repeat) pairs one at a time on the host
+    (main_diffusion_scatterometry.py:52); here one dispatch evaluates a whole
+    condition chunk for one repeat, with each device owning
+    chunk/n_devices conditions.  GT arrays are loaded host-side per chunk and
+    arrive sharded alongside their conditions.  Returns
+    eval_many(params, keys, ys, x_trues) -> per-condition stat dict
+    (histograms included; x_pred dropped — fetch plots via the per-y kernel).
+    """
+    eval_yr = make_eval_y_scatterometry(
+        model, forward_model, fparams, score_posterior_fn,
+        n_samples_x, num_steps, nbins, xlim,
+    )
+
+    def batched(params, keys, ys, x_trues):
+        return jax.vmap(
+            lambda k, y, xt: {
+                kk: vv
+                for kk, vv in eval_yr.raw(params, k, y, xt).items()
+                if kk != "x_pred"
+            }
+        )(keys, ys, x_trues)
+
+    if mesh is None:
+        return jax.jit(batched)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sh = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        batched,
+        in_shardings=(repl, data_sh, data_sh, data_sh),
+        out_shardings=repl,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Top-level harnesses (results.csv writers)
 # ---------------------------------------------------------------------------
@@ -267,6 +319,20 @@ def _write_results_csv(path: str, columns: Dict[str, Sequence[float]]) -> None:
         w.writerow([""] + keys)
         for i in range(len(columns[keys[0]])):
             w.writerow([i] + [columns[k][i] for k in keys])
+
+
+def _resolve_eval_mesh(mesh, n_items: int):
+    """'auto' -> a data mesh over all visible devices when >1 (and the
+    work is wide enough to shard), an explicit Mesh, or None (sequential)."""
+    if mesh == "auto":
+        if len(jax.devices()) > 1 and n_items > 1:
+            from .parallel.mesh import get_mesh
+
+            return get_mesh()
+        return None
+    if mesh is not None and getattr(mesh, "size", 1) <= 1:
+        return None
+    return mesh
 
 
 def evaluate_linear(
@@ -283,27 +349,74 @@ def evaluate_linear(
     nbins: int = 75,
     xlim: Tuple[float, float] = (-3.5, 3.5),
     verbose: bool = True,
+    mesh="auto",
 ) -> Tuple[float, float, float]:
     """Full linear evaluation; returns (mean KL, mean NLPD, mean score-MSE).
 
     Column layout of results.csv matches the reference
     (main_diffusion_linear.py:133-135: KL2, NLL_true, NLL_diffusion, MSE).
+
+    ``mesh``: "auto" (default) shards the condition set over all visible
+    devices via :func:`make_eval_many_linear` — the reference's per-y host
+    loop (main_diffusion_linear.py:65) is the multi-chip scale axis
+    (SURVEY.md §5).  Pass an explicit Mesh or None (sequential).  The per-y
+    key schedule is identical in both paths, so results match.
     """
+    n_y = ys.shape[0]
+    # Per-y keys drawn in the sequential order regardless of path.
+    ykeys = []
+    for _ in range(n_y):
+        key, k = jax.random.split(key)
+        ykeys.append(k)
+    ykeys = jnp.stack(ykeys)
+
+    use_mesh = _resolve_eval_mesh(mesh, n_y)
+    kl_vals, nll_true, nll_model, mse_vals, w2_vals = [], [], [], [], []
+    if use_mesh is not None:
+        from .parallel.mesh import batch_sharding, replicate
+
+        chunk = use_mesh.size
+        eval_many = make_eval_many_linear(
+            model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim,
+            mesh=use_mesh,
+        )
+        data_sh = batch_sharding(use_mesh)
+        repl = replicate(use_mesh)
+        params_r = jax.device_put(params, repl)
+        for c0 in range(0, n_y, chunk):
+            idx = list(range(c0, min(c0 + chunk, n_y)))
+            pad = chunk - len(idx)
+            sel = idx + [idx[-1]] * pad  # pad by repeating; outputs discarded
+            out = eval_many(
+                params_r,
+                jax.device_put(ykeys[jnp.asarray(sel)], data_sh),
+                jax.device_put(ys[jnp.asarray(sel)], data_sh),
+            )
+            out = jax.device_get(out)
+            for j in range(len(idx)):
+                kl_vals.append(float(out["kl"][j]))
+                nll_true.append(float(out["nll_true"][j]))
+                nll_model.append(float(out["nll_model"][j]))
+                mse_vals.append(float(out["mse_score"][j]))
+                w2_vals.append(float(out["w2"][j]))
     eval_y = make_eval_y_linear(
         model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim
     )
-    kl_vals, nll_true, nll_model, mse_vals, w2_vals = [], [], [], [], []
-    for i in range(ys.shape[0]):
-        key, k = jax.random.split(key)
-        out = eval_y(params, k, ys[i])
-        kl_vals.append(float(out["kl"]))
-        nll_true.append(float(out["nll_true"]))
-        nll_model.append(float(out["nll_model"]))
-        mse_vals.append(float(out["mse_score"]))
-        w2_vals.append(float(out["w2"]))
+    for i in range(n_y):
+        if use_mesh is None:
+            out = eval_y(params, ykeys[i], ys[i])
+            kl_vals.append(float(out["kl"]))
+            nll_true.append(float(out["nll_true"]))
+            nll_model.append(float(out["nll_model"]))
+            mse_vals.append(float(out["mse_score"]))
+            w2_vals.append(float(out["w2"]))
+        elif not (out_dir is not None and i in plot_ys):
+            continue
         if out_dir is not None and i in plot_ys:
             from .utils.plotting import plot_density
 
+            if use_mesh is not None:
+                out = eval_y(params, ykeys[i], ys[i])  # same key: same samples
             for tag, arr in (("true", out["x_true_last"]), ("diffusion", out["x_pred_last"])):
                 plot_density(
                     np.asarray(arr), nbins, limits=xlim, xticks=list(xlim),
@@ -346,6 +459,7 @@ def evaluate_scatterometry(
     nbins: int = 75,
     xlim: Tuple[float, float] = (-1.2, 1.2),
     verbose: bool = True,
+    mesh="auto",
 ) -> Tuple[float, float, float]:
     """Scatterometry evaluation against MCMC ground truth.
 
@@ -353,33 +467,98 @@ def evaluate_scatterometry(
     repeat j (reference datasets.get_gt_samples_scatterometry).  Returns
     (mean KL, mean NLPD, mean score-MSE); results.csv columns match
     main_diffusion_scatterometry.py:119-121.
+
+    ``mesh``: "auto" (default) shards each repeat's condition chunk over all
+    visible devices via :func:`make_eval_many_scatterometry`; GT arrays are
+    loaded host-side per chunk.  The per-(condition, repeat) key schedule is
+    identical in both paths, so results match the sequential walk.
     """
+    n_y = ys.shape[0]
+    # (i, j) keys drawn in the sequential order regardless of path.
+    ykeys = []
+    for _ in range(n_y * n_repeats):
+        key, k = jax.random.split(key)
+        ykeys.append(k)
+    ykeys = jnp.stack(ykeys).reshape(n_y, n_repeats, -1)
+
+    use_mesh = _resolve_eval_mesh(mesh, n_y)
     eval_yr = make_eval_y_scatterometry(
         model, forward_model, fparams, score_posterior_fn,
         n_samples_x, num_steps, nbins, xlim,
     )
     kl_vals, kl_rev_vals, nll_true, nll_model, mse_vals = [], [], [], [], []
-    for i in range(ys.shape[0]):
+
+    if use_mesh is not None:
+        from .parallel.mesh import batch_sharding, replicate
+
+        chunk = use_mesh.size
+        eval_many = make_eval_many_scatterometry(
+            model, forward_model, fparams, score_posterior_fn,
+            n_samples_x, num_steps, nbins, xlim, mesh=use_mesh,
+        )
+        data_sh = batch_sharding(use_mesh)
+        repl = replicate(use_mesh)
+        params_r = jax.device_put(params, repl)
+        for c0 in range(0, n_y, chunk):
+            idx = list(range(c0, min(c0 + chunk, n_y)))
+            pad = chunk - len(idx)
+            sel = idx + [idx[-1]] * pad  # pad by repeating; outputs discarded
+            hist_t_sum = np.zeros((len(idx), nbins**3), np.float32)
+            hist_p_sum = np.zeros((len(idx), nbins**3), np.float32)
+            nll_t = np.zeros(len(idx))
+            nll_p = np.zeros(len(idx))
+            mse = np.zeros(len(idx))
+            for j in range(n_repeats):
+                x_true = np.stack(
+                    [np.asarray(gt_loader(i, j), np.float32) for i in sel]
+                )
+                out = jax.device_get(eval_many(
+                    params_r,
+                    jax.device_put(ykeys[jnp.asarray(sel), j], data_sh),
+                    jax.device_put(ys[jnp.asarray(sel)], data_sh),
+                    jax.device_put(jnp.asarray(x_true), data_sh),
+                ))
+                n = len(idx)
+                hist_t_sum += out["hist_true"][:n]
+                hist_p_sum += out["hist_model"][:n]
+                nll_t += out["nll_true"][:n] / n_repeats
+                nll_p += out["nll_model"][:n] / n_repeats
+                mse += out["mse_score"][:n] / n_repeats
+            for jj in range(len(idx)):
+                kl, kl_rev = kl_pair(
+                    jnp.asarray(hist_t_sum[jj]), jnp.asarray(hist_p_sum[jj])
+                )
+                kl_vals.append(float(kl))
+                kl_rev_vals.append(float(kl_rev))
+                nll_true.append(float(nll_t[jj]))
+                nll_model.append(float(nll_p[jj]))
+                mse_vals.append(float(mse[jj]))
+
+    for i in range(n_y):
+        if use_mesh is not None and not (out_dir is not None and i in plot_ys):
+            continue
         hist_t_sum = jnp.zeros(nbins**3, jnp.float32)
         hist_p_sum = jnp.zeros(nbins**3, jnp.float32)
         nll_t = nll_p = mse = 0.0
         last = None
         for j in range(n_repeats):
-            key, k = jax.random.split(key)
+            if use_mesh is not None and j < n_repeats - 1:
+                continue  # plots only need the last repeat's samples
             x_true = jnp.asarray(gt_loader(i, j), jnp.float32)
-            out = eval_yr(params, k, ys[i], x_true)
+            out = eval_yr(params, ykeys[i, j], ys[i], x_true)
             hist_t_sum = hist_t_sum + out["hist_true"]
             hist_p_sum = hist_p_sum + out["hist_model"]
             nll_t += float(out["nll_true"]) / n_repeats
             nll_p += float(out["nll_model"]) / n_repeats
             mse += float(out["mse_score"]) / n_repeats
             last = (x_true, out["x_pred"])
-        kl, kl_rev = kl_pair(hist_t_sum, hist_p_sum)
-        kl_vals.append(float(kl))
-        kl_rev_vals.append(float(kl_rev))
-        nll_true.append(nll_t)
-        nll_model.append(nll_p)
-        mse_vals.append(mse)
+        if use_mesh is None:
+            kl, kl_rev = kl_pair(hist_t_sum, hist_p_sum)
+            kl_vals.append(float(kl))
+            kl_rev_vals.append(float(kl_rev))
+            nll_true.append(nll_t)
+            nll_model.append(nll_p)
+            mse_vals.append(mse)
         if out_dir is not None and i in plot_ys and last is not None:
             from .utils.plotting import plot_density
 

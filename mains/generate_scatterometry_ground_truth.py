@@ -33,52 +33,75 @@ from dmip_tpu.utils import load_config
 
 
 def make_gt_kernel(forward_model, fparams, n_chains, metr_steps, noise_std,
-                   backend: str = "auto"):
+                   backend: str = "auto", mesh=None):
     """Jitted: one (condition, repeat)'s chains.
 
     backend='pallas' (default on TPU) uses the fused on-chip MH kernel
     (dmip_tpu.ops.mh_kernel): ~0.25s per 30k-chain x 1000-step run and
     seconds-scale compile.  backend='xla' is the generic scan path (used on
     CPU and for arbitrary energies).
+
+    ``mesh``: an optional 1-D device mesh; chains are independent, so with a
+    mesh each device runs n_chains/mesh.size chains under ``shard_map``
+    (per-device keys folded from the call key by axis index) — the TPU-native
+    replacement for the reference's 4-process joblib fan-out
+    (generate_scatterometry_ground_truth.py:59-62).
     """
     a, b, lambd_bd = fparams["a"], fparams["b"], fparams["lambd_bd"]
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    n_shards = 1 if mesh is None else mesh.size
+    if n_chains % n_shards:
+        raise ValueError(
+            f"n_chains={n_chains} must divide over {n_shards} devices"
+        )
+    n_local = n_chains // n_shards
 
     if backend == "pallas":
         from dmip_tpu.ops import fused_mh_scatterometry
 
         weights = scat.load_surrogate_weights()
 
-        @jax.jit
-        def run(key, y):
+        def single(key, y):
             k0, ks = jax.random.split(key)
-            x0 = jax.random.uniform(k0, (n_chains, 3)) * 2.0 - 1.0
+            x0 = jax.random.uniform(k0, (n_local, 3)) * 2.0 - 1.0
             seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max)
             return fused_mh_scatterometry(
                 weights, x0, y, metr_steps, noise_std=noise_std,
                 a=a, b=b, lambd_bd=lambd_bd, seed=seed,
             )
+    else:
+        def single(key, y):
+            k0, km = jax.random.split(key)
+            x0 = jax.random.uniform(k0, (n_local, 3)) * 2.0 - 1.0
+            ys = jnp.broadcast_to(y, (n_local, y.shape[-1]))
+            energy = lambda x: scat.get_log_posterior(
+                x, forward_model, a, b, ys, lambd_bd
+            )
+            x, _ = mcmc.anneal_to_energy(
+                km, x0, energy, metr_steps, noise_std=noise_std
+            )
+            return x
 
-        return run
+    if mesh is None:
+        return jax.jit(single)
 
-    @jax.jit
-    def run(key, y):
-        k0, km = jax.random.split(key)
-        x0 = jax.random.uniform(k0, (n_chains, 3)) * 2.0 - 1.0
-        ys = jnp.broadcast_to(y, (n_chains, y.shape[-1]))
-        energy = lambda x: scat.get_log_posterior(
-            x, forward_model, a, b, ys, lambd_bd
-        )
-        x, _ = mcmc.anneal_to_energy(
-            km, x0, energy, metr_steps, noise_std=noise_std
-        )
-        return x
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
 
-    return run
+    axis = mesh.axis_names[0]
+
+    def body(key, y):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return single(k, y)
+
+    return jax.jit(
+        shard_map(body, mesh=mesh, in_specs=(P(), P()), out_specs=P(axis))
+    )
 
 
-def run(config: dict, gt_dir: str, plot: bool = True) -> None:
+def run(config: dict, gt_dir: str, plot: bool = True, devices: int = 1) -> None:
     forward_model, fparams = scat.load_forward_model()
     key = jax.random.PRNGKey(int(config.get("RANDOM_STATE", 13)))
     k_data, k_mcmc = jax.random.split(key)
@@ -87,6 +110,14 @@ def run(config: dict, gt_dir: str, plot: bool = True) -> None:
         size=int(config["n_samples_y"]),
     )
 
+    mesh = None
+    if devices != 1:
+        from dmip_tpu.parallel.mesh import get_mesh
+
+        n_dev = len(jax.devices()) if devices in (0, -1) else devices
+        if n_dev > 1:
+            mesh = get_mesh(n_dev)
+
     n_repeats = int(config.get("n_repeats", 10))
     n_x = int(config["n_samples_x"])
     kernel = make_gt_kernel(
@@ -94,6 +125,7 @@ def run(config: dict, gt_dir: str, plot: bool = True) -> None:
         n_chains=n_x,
         metr_steps=int(config["METR_STEPS"]),
         noise_std=float(config["NOISE_STD_MCMC"]),
+        mesh=mesh,
     )
 
     for i in range(y_test.shape[0]):
@@ -119,5 +151,9 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/config_scatterometry.yml")
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="shard chains over this many devices (-1 = all visible)",
+    )
     args = p.parse_args()
-    run(load_config(args.config), args.gt_dir)
+    run(load_config(args.config), args.gt_dir, devices=args.devices)

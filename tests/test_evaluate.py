@@ -107,3 +107,89 @@ def test_sliced_w2_properties(key):
     shifted = float(sliced_w2(k3, x, y + 3.0))
     # mean shift of norm 3*sqrt(2) appears as ~ projected shift
     assert 1.5 < shifted < 4.5
+
+
+def test_evaluate_linear_sharded_matches_sequential(key, tmp_path):
+    """The product path (VERDICT r1 #2): evaluate_linear on an 8-device mesh
+    must produce the same results.csv as the sequential per-y walk — the key
+    schedule is shared, only the dispatch layout differs."""
+    import csv
+
+    from dmip_tpu.parallel.mesh import get_mesh
+
+    prob = LinearForwardProblem()
+    model = CDE(2, 2, (16, 16))
+    params = model.init(key)
+    ys = prob.forward(jax.random.normal(key, (11, 2)))  # 11: pads last chunk
+
+    common = dict(
+        n_samples_x=512, n_repeats=2, num_steps=10, nbins=20, verbose=False,
+    )
+    kd = jax.random.fold_in(key, 7)
+    seq = evaluate_linear(
+        model, params, prob, ys, kd, out_dir=str(tmp_path / "seq"),
+        mesh=None, **common,
+    )
+    shd = evaluate_linear(
+        model, params, prob, ys, kd, out_dir=str(tmp_path / "shd"),
+        mesh=get_mesh(8), **common,
+    )
+    np.testing.assert_allclose(seq, shd, rtol=1e-4)
+
+    def read(p):
+        with open(p) as f:
+            return list(csv.reader(f))
+
+    rows_s = read(tmp_path / "seq" / "results.csv")
+    rows_m = read(tmp_path / "shd" / "results.csv")
+    assert rows_s[0] == rows_m[0]
+    a = np.asarray([[float(v) for v in r[1:]] for r in rows_s[1:]])
+    b = np.asarray([[float(v) for v in r[1:]] for r in rows_m[1:]])
+    assert a.shape == (11, 5)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_evaluate_scatterometry_sharded_matches_sequential(key, tmp_path):
+    """Same 1-vs-8-device equivalence for the scatterometry harness, with a
+    synthetic 3-d problem standing in for the surrogate."""
+    import csv
+
+    from dmip_tpu.evaluate import evaluate_scatterometry
+    from dmip_tpu.parallel.mesh import get_mesh
+
+    model = CDE(3, 4, (16, 16))
+    params = model.init(key)
+    fwd = lambda x: jnp.tanh(x @ jnp.ones((3, 4)) * 0.3)
+    fparams = {"a": 0.2, "b": 0.01, "lambd_bd": 1000.0}
+    score_post = lambda x, y: -x
+    ys = fwd(jax.random.normal(key, (5, 3)))
+    rng = np.random.default_rng(0)
+    gt = rng.standard_normal((5, 3, 256, 3)).astype(np.float32) * 0.3
+
+    common = dict(
+        n_samples_x=256, n_repeats=3, num_steps=8, nbins=10, verbose=False,
+    )
+    kd = jax.random.fold_in(key, 9)
+    seq = evaluate_scatterometry(
+        model, params, fwd, fparams, score_post, ys,
+        lambda i, j: gt[i, j], kd, out_dir=str(tmp_path / "seq"),
+        mesh=None, **common,
+    )
+    shd = evaluate_scatterometry(
+        model, params, fwd, fparams, score_post, ys,
+        lambda i, j: gt[i, j], kd, out_dir=str(tmp_path / "shd"),
+        mesh=get_mesh(8), **common,
+    )
+    np.testing.assert_allclose(seq, shd, rtol=1e-4)
+
+    def read(p):
+        with open(p) as f:
+            return list(csv.reader(f))
+
+    rows_s = read(tmp_path / "seq" / "results.csv")
+    rows_m = read(tmp_path / "shd" / "results.csv")
+    assert rows_s[0] == rows_m[0]
+    a = np.asarray([[float(v) for v in r[1:]] for r in rows_s[1:]])
+    b = np.asarray([[float(v) for v in r[1:]] for r in rows_m[1:]])
+    assert a.shape == (5, 5)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

@@ -124,3 +124,58 @@ def test_run_grid_search_linear_tiny(tmp_path, monkeypatch):
     # results trees written
     best = gridsearch.traverse_subfolders(str(tmp_path))
     assert best["kl"][1] is not None
+
+
+def test_gt_generator_sharded_chains(tmp_path):
+    """The GT generator's --devices path: chains shard over an 8-device mesh
+    via shard_map (per-device keys), and the pooled samples match the
+    single-device run statistically (same annealed posterior)."""
+    import jax
+    import generate_scatterometry_ground_truth as gt
+    from dmip_tpu.parallel.mesh import get_mesh
+    from dmip_tpu.problems import scatterometry as scat
+
+    forward_model, fparams = scat.load_forward_model()
+    key = jax.random.PRNGKey(5)
+    _, y = __import__("dmip_tpu").data.generate_dataset_scatterometry(
+        key, forward_model, fparams["a"], fparams["b"], size=1
+    )
+
+    k1 = jax.random.PRNGKey(11)
+    single = gt.make_gt_kernel(
+        forward_model, fparams, n_chains=2048, metr_steps=120,
+        noise_std=0.5, backend="xla",
+    )
+    x1 = np.asarray(single(k1, y[0]))
+
+    sharded = gt.make_gt_kernel(
+        forward_model, fparams, n_chains=2048, metr_steps=120,
+        noise_std=0.5, backend="xla", mesh=get_mesh(8),
+    )
+    x8 = np.asarray(sharded(k1, y[0]))
+
+    assert x8.shape == (2048, 3)
+    assert np.all(np.isfinite(x8))
+    # Different RNG layout -> different draws, same target distribution.
+    np.testing.assert_allclose(x1.mean(0), x8.mean(0), atol=0.1)
+    np.testing.assert_allclose(x1.std(0), x8.std(0), atol=0.1)
+    # per-device shards are genuinely distinct chains, not copies
+    blocks = x8.reshape(8, 256, 3)
+    assert not np.allclose(blocks[0], blocks[1])
+
+
+def test_gt_generator_devices_flag(tmp_path):
+    """run(..., devices=-1) writes per-repeat GT files through the sharded
+    kernel."""
+    import generate_scatterometry_ground_truth as gt
+
+    cfg = dict(
+        RANDOM_STATE=13, n_samples_y=1, n_samples_x=512, METR_STEPS=30,
+        NOISE_STD_MCMC=0.5, n_repeats=2, plot_ys=[],
+    )
+    gt_dir = str(tmp_path / "gt8")
+    gt.run(cfg, gt_dir, plot=False, devices=-1)
+    a = np.load(os.path.join(gt_dir, "0", "0.npy"))
+    b = np.load(os.path.join(gt_dir, "0", "1.npy"))
+    assert a.shape == (512, 3) and b.shape == (512, 3)
+    assert np.all(np.isfinite(a)) and not np.allclose(a, b)
