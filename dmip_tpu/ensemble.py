@@ -1,0 +1,277 @@
+"""Trial-parallel (ensemble) training for grid search.
+
+The reference's grid search trains trials strictly sequentially
+(model_selection.py:16-64).  Most of a grid's trials share one jaxpr
+structure — same model/loss/metrics, differing only in the scalar
+regularization weights lam/lam2 — so on TPU they can train as ONE program:
+the trial axis becomes a leading vmap axis over (params, opt_state, lam,
+lam2), batches and keys are shared (exactly the schedule each sequential
+trial would have seen, since the reference re-uses the same seed per trial),
+and the whole multi-epoch scan stays a single jitted dispatch.  On a device
+mesh the trial axis shards: each chip trains n_trials/n_devices trials with
+zero cross-trial communication.
+
+Per-trial results are numerically equivalent to the sequential runs (tested
+in tests/test_ensemble.py); K trials cost ~1 trial's wall-clock on K chips,
+or ~the batched-matmul speedup of stacking on one chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .models.diffusion import DiffusionModel, LossConfig
+
+Array = jax.Array
+
+
+def init_ensemble(model: DiffusionModel, key: Array, n_trials: int):
+    """Stack n_trials copies of one init — the sequential grid re-inits every
+    trial from the same key (run_grid_search_*.py), so identical starts are
+    the parity-preserving choice."""
+    p = model.init(key)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (n_trials,) + a.shape), p
+    )
+
+
+def trial_params(ens_params, i: int):
+    """Extract trial i's parameter pytree from the stacked ensemble."""
+    return jax.tree_util.tree_map(lambda a: a[i], ens_params)
+
+
+def pad_trials(lams: Sequence[float], lam2s: Sequence[float], multiple: int):
+    """Pad the trial list to a mesh-divisible length by repeating the last
+    trial; returns (lams, lam2s, n_valid)."""
+    n = len(lams)
+    rem = (-n) % multiple
+    lams = list(lams) + [lams[-1]] * rem
+    lam2s = list(lam2s) + [lam2s[-1]] * rem
+    return jnp.asarray(lams, jnp.float32), jnp.asarray(lam2s, jnp.float32), n
+
+
+def make_ensemble_epoch_fn(
+    model: DiffusionModel,
+    cfg: LossConfig,
+    optimizer,
+    batch_fn: Callable[..., Tuple[Array, Array]],
+    epochs_per_call: int = 1,
+    loss_kwargs: Optional[Dict[str, Any]] = None,
+    mesh=None,
+    axis_name: str = "data",
+    donate: bool = True,
+    skip_nonfinite: bool = True,
+):
+    """Build the jitted multi-epoch ensemble step.
+
+    Returns epochs(ens_params, ens_opt_state, key, epoch0, lams, lam2s,
+    n_active) -> (ens_params, ens_opt_state, losses (epochs_per_call, K),
+    infos dict of (epochs_per_call, K)).
+
+    ``lams``/``lam2s`` are traced (K,) arrays: cfg's lam/lam2 are replaced
+    per trial at trace time, which is sound because every loss uses them
+    multiplicatively (dmip_tpu.losses).  The key/batch schedule matches
+    :func:`dmip_tpu.train.make_epoch_fn` exactly, so trial k here equals a
+    sequential run with lam=lams[k].
+    """
+    loss_kwargs = dict(loss_kwargs or {})
+
+    def loss_with(params, key, x, y, lam, lam2):
+        cfg_rt = dataclasses.replace(cfg, lam=lam, lam2=lam2)
+        return model.make_loss_fn(cfg_rt, **loss_kwargs)(params, key, x, y)
+
+    def trial_step(params, opt_state, key, x, y, lam, lam2):
+        (loss, info), grads = jax.value_and_grad(loss_with, has_aux=True)(
+            params, key, x, y, lam, lam2
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if skip_nonfinite:
+            finite = jnp.all(
+                jnp.stack([
+                    jnp.all(jnp.isfinite(g))
+                    for g in jax.tree_util.tree_leaves(grads)
+                ])
+            )
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+            new_params = keep(new_params, params)
+            new_opt_state = keep(new_opt_state, opt_state)
+        return new_params, new_opt_state, loss, info
+
+    # trial axis: params/opt_state/lam/lam2 mapped, (key, batch) shared
+    vstep = jax.vmap(trial_step, in_axes=(0, 0, None, None, None, 0, 0))
+
+    def epochs(params, opt_state, key, epoch0, lams, lam2s,
+               n_active=epochs_per_call):
+        def one_epoch(carry, inp):
+            j, ekey = inp
+            params, opt_state = carry
+            kdata, kscan = jax.random.split(ekey)
+            xb, yb = batch_fn(kdata)
+            keys = jax.random.split(kscan, xb.shape[0])
+
+            def body(c, binp):
+                p, o = c
+                k, x, y = binp
+                p, o, loss, info = vstep(p, o, k, x, y, lams, lam2s)
+                return (p, o), (loss, info)
+
+            new_carry, (losses, infos) = jax.lax.scan(
+                body, (params, opt_state), (keys, xb, yb)
+            )
+            active = j < n_active
+            keep = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), new_carry, carry
+            )
+            # per-trial means over the epoch's batches: (K,)
+            return keep, (jnp.mean(losses, axis=0),
+                          {k: jnp.mean(v, axis=0) for k, v in infos.items()})
+
+        js = jnp.arange(epochs_per_call)
+        keys = jax.vmap(lambda j: jax.random.fold_in(key, epoch0 + j))(js)
+        (params, opt_state), (losses, infos) = jax.lax.scan(
+            one_epoch, (params, opt_state), (js, keys)
+        )
+        return params, opt_state, losses, infos
+
+    if mesh is None:
+        return jax.jit(epochs, donate_argnums=(0, 1) if donate else ())
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    trial_sh = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    # losses/infos are (epochs_per_call, K): trial axis is dim 1
+    hist_sh = NamedSharding(mesh, P(None, axis_name))
+    return jax.jit(
+        epochs,
+        in_shardings=(trial_sh, trial_sh, repl, repl, trial_sh, trial_sh,
+                      repl),
+        out_shardings=(trial_sh, trial_sh, hist_sh, hist_sh),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def ensemble_fit(
+    epoch_fn,
+    ens_params,
+    optimizer,
+    key: Array,
+    num_epochs: int,
+    lams: Array,
+    lam2s: Array,
+    epochs_per_call: int = 1,
+    log_every: int = 50,
+    desc: str = "ensemble",
+    mesh=None,
+    axis_name: str = "data",
+):
+    """Python-level driver for the ensemble scan.
+
+    Returns (ens_params, loss_history (num_epochs, K)).  The caller extracts
+    per-trial params with :func:`trial_params` and writes per-trial logs
+    from the history.
+    """
+    import numpy as np
+
+    # vmap(init): per-trial optimizer state (adam's count is (K,), etc.)
+    opt_state = jax.vmap(optimizer.init)(ens_params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        trial_sh = NamedSharding(mesh, P(axis_name))
+        ens_params = jax.device_put(ens_params, trial_sh)
+        opt_state = jax.device_put(opt_state, trial_sh)
+        lams = jax.device_put(lams, trial_sh)
+        lam2s = jax.device_put(lam2s, trial_sh)
+
+    history = []
+    t0 = time.time()
+    n_calls = -(-num_epochs // epochs_per_call)
+    epoch = 0
+    for c in range(n_calls):
+        n_active = min(epochs_per_call, num_epochs - epoch)
+        ens_params, opt_state, losses, _infos = epoch_fn(
+            ens_params, opt_state, key, jnp.asarray(epoch, jnp.int32),
+            lams, lam2s, jnp.asarray(n_active, jnp.int32),
+        )
+        losses = np.asarray(jax.device_get(losses))  # (epochs_per_call, K)
+        history.append(losses[:n_active])
+        epoch += n_active
+        if log_every and (c % max(log_every // epochs_per_call, 1) == 0
+                          or c == n_calls - 1):
+            rate = epoch / (time.time() - t0)
+            print(
+                f"[{desc}] epoch {epoch}/{num_epochs} "
+                f"mean-loss={float(losses[n_active - 1].mean()):.4f} "
+                f"({rate:.1f} epochs/s x {losses.shape[1]} trials)",
+                flush=True,
+            )
+    return ens_params, np.concatenate(history, axis=0)
+
+
+def make_train_many(
+    batch_fn: Callable[..., Tuple[Array, Array]],
+    k_init: Array,
+    k_train: Array,
+    lr: float,
+    n_epochs: int,
+    epochs_per_call: int = 1,
+    loss_kwargs: Optional[Dict[str, Any]] = None,
+    grad_clip: Optional[float] = None,
+    mesh="auto",
+    write_logs: bool = True,
+):
+    """Build the ``train_many`` callable for :func:`dmip_tpu.gridsearch.grid_search`.
+
+    Same (key, init, optimizer, epoch-count) schedule as the drivers'
+    sequential ``train_fn``, so per-trial results match sequential training.
+    mesh="auto": shard the trial axis over all visible devices (trial count
+    is padded to a mesh-divisible length by repeating the last trial).
+    """
+
+    def train_many(model, loss_cfg, full_cfgs, train_dirs, log_dirs):
+        from .train import build_optimizer
+
+        lams = [float(fc.get("lam", 1.0)) for fc in full_cfgs]
+        lam2s = [float(fc.get("lam2", 1.0)) for fc in full_cfgs]
+        m = mesh
+        if m == "auto":
+            from .parallel.mesh import get_mesh
+
+            m = get_mesh() if len(jax.devices()) > 1 else None
+        multiple = m.size if m is not None else 1
+        lams_a, lam2s_a, n_valid = pad_trials(lams, lam2s, multiple)
+
+        ens = init_ensemble(model, k_init, lams_a.shape[0])
+        optimizer = build_optimizer(lr, grad_clip)
+        epoch_fn = make_ensemble_epoch_fn(
+            model, loss_cfg, optimizer, batch_fn, epochs_per_call,
+            loss_kwargs, mesh=m,
+        )
+        desc = "ensemble:" + (
+            __import__("os").path.basename(train_dirs[0]) if train_dirs else ""
+        )
+        ens, hist = ensemble_fit(
+            epoch_fn, ens, optimizer, k_train, n_epochs, lams_a, lam2s_a,
+            epochs_per_call=epochs_per_call, mesh=m, desc=desc,
+        )
+        if write_logs:
+            from .utils.metrics import MetricsWriter
+
+            for i, ld in enumerate(log_dirs):
+                with MetricsWriter(ld) as w:
+                    for e in range(hist.shape[0]):
+                        w.scalar("Train/Loss", float(hist[e, i]), e)
+        ens = jax.device_get(ens)
+        return [trial_params(ens, i) for i in range(n_valid)]
+
+    return train_many

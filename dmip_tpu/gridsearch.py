@@ -60,6 +60,15 @@ def should_skip(
     return False
 
 
+def ensemble_signature(trial_cfg: Dict[str, Any]) -> Tuple:
+    """Trials that differ only in lam/lam2 share one jaxpr structure and can
+    train as a vmapped ensemble (dmip_tpu.ensemble)."""
+    return tuple(
+        sorted((k, repr(v)) for k, v in trial_cfg.items()
+               if k not in ("lam", "lam2"))
+    )
+
+
 def grid_search(
     y_test,
     config: Dict[str, Any],
@@ -69,6 +78,7 @@ def grid_search(
     train_args: Dict[str, Any],
     eval_args: Dict[str, Any],
     trial_filter: Optional[Callable[[int, Dict[str, Any]], bool]] = None,
+    train_many: Optional[Callable[..., List[Any]]] = None,
 ) -> Dict[str, Any]:
     """Cartesian grid over config['params']; tracks best-by-KL / NLPD /
     Fisher (score-MSE).
@@ -77,6 +87,14 @@ def grid_search(
     -> params`` and ``evaluate(model, params, y_test, out_dir, **eval_args)
     -> (kl, nlpd, fisher)`` are injected by the experiment driver, mirroring
     model_selection.py:5-64's dependency injection.
+
+    ``train_many(model, loss_cfg, full_cfgs, train_dirs, log_dirs,
+    **train_args) -> [params]``: optional trial-parallel trainer.  When
+    given, trials sharing an :func:`ensemble_signature` (same structure,
+    different lam/lam2) train together as one vmapped ensemble — the TPU
+    replacement for the reference's sequential trial loop
+    (model_selection.py:16) — and only structurally unique trials fall back
+    to ``train``.  Evaluation and best-tracking are unchanged.
     """
     from .utils.config import set_directories
 
@@ -88,13 +106,46 @@ def grid_search(
     }
     results = []
 
+    # Materialize the trial list (skip rules + host filter), keeping order.
+    trials: List[Tuple[Dict[str, Any], Dict[str, Any]]] = []
     for idx, trial_cfg in enumerate(product_dict(**config["params"])):
         full_cfg = {**config, **trial_cfg}
         if should_skip(full_cfg, already_visited):
             continue
         if trial_filter is not None and not trial_filter(idx, full_cfg):
             continue
+        trials.append((trial_cfg, full_cfg))
 
+    # Phase 1 (optional): train structure-sharing groups as ensembles.
+    trained: Dict[int, Any] = {}
+    if train_many is not None:
+        groups: Dict[Tuple, List[int]] = {}
+        for pos, (trial_cfg, _full) in enumerate(trials):
+            groups.setdefault(ensemble_signature(trial_cfg), []).append(pos)
+        for sig, poss in groups.items():
+            if len(poss) < 2:
+                continue
+            full_cfgs = [trials[p][1] for p in poss]
+            model, loss_cfg = get_model_from_args(
+                full_cfgs[0], forward_model_params
+            )
+            tdirs, log_dirs = [], []
+            for fc in full_cfgs:
+                tdir = trial_dir(config["src_dir"], fc, loss_cfg.name)
+                out_dir = os.path.join(tdir, "results")
+                log_dirs.append(set_directories(tdir, out_dir))
+                tdirs.append(tdir)
+            print("=================")
+            print(f"ensemble of {len(poss)} trials: "
+                  f"{[trials[p][0] for p in poss]}", flush=True)
+            params_list = train_many(
+                model, loss_cfg, full_cfgs, tdirs, log_dirs, **train_args
+            )
+            for p, params in zip(poss, params_list):
+                trained[p] = params
+
+    # Phase 2: per-trial (train when not ensemble-trained) + evaluate.
+    for pos, (trial_cfg, full_cfg) in enumerate(trials):
         model, loss_cfg = get_model_from_args(full_cfg, forward_model_params)
         tdir = trial_dir(config["src_dir"], full_cfg, loss_cfg.name)
         out_dir = os.path.join(tdir, "results")
@@ -102,7 +153,12 @@ def grid_search(
         print("-----------------")
         print(trial_cfg, flush=True)
 
-        params = train(model, loss_cfg, full_cfg, tdir, log_dir, **train_args)
+        if pos in trained:
+            params = trained[pos]
+        else:
+            params = train(
+                model, loss_cfg, full_cfg, tdir, log_dir, **train_args
+            )
         kl, nlpd, fisher = evaluate(model, params, y_test, out_dir, **eval_args)
         results.append({**trial_cfg, "kl": kl, "nlpd": nlpd, "fisher": fisher})
 

@@ -70,10 +70,27 @@ def main():
     if args.n_hosts > 1:
         trial_filter = lambda idx, cfg: idx % args.n_hosts == args.host
 
+    # Trial-parallel: same-structure trials (different lam/lam2) train as a
+    # vmapped ensemble sharded over the mesh (dmip_tpu.ensemble).
+    train_many = None
+    if not config.get("no_ensemble"):
+        from dmip_tpu import ensemble
+
+        train_many = ensemble.make_train_many(
+            lambda k: data.linear_epoch_batches(
+                k, x_train, y_train, prob.noise_std, int(config["batch_size"])
+            ),
+            k_init, k_train, float(config["lr"]),
+            n_epochs=int(config["n_epochs"]), epochs_per_call=epc,
+            loss_kwargs={"initial_condition": prob.score_posterior},
+            grad_clip=config.get("grad_clip"),
+        )
+
     gridsearch.grid_search(
         y_test[: int(config["n_samples_y"])], config,
         {"xdim": prob.xdim, "ydim": prob.ydim},
         train_fn, eval_fn, {}, {}, trial_filter=trial_filter,
+        train_many=train_many,
     )
 
 

@@ -81,9 +81,30 @@ def main():
     if args.n_hosts > 1:
         trial_filter = lambda idx, cfg: idx % args.n_hosts == args.host
 
+    # Trial-parallel: same-structure trials (different lam/lam2) train as a
+    # vmapped ensemble sharded over the mesh (dmip_tpu.ensemble).
+    train_many = None
+    if not config.get("no_ensemble"):
+        from dmip_tpu import ensemble
+
+        train_many = ensemble.make_train_many(
+            lambda k: data.scatterometry_epoch_batches(
+                k, forward_model, fparams["a"], fparams["b"],
+                fparams["lambd_bd"], int(config["batch_size"]),
+            ),
+            k_init, k_train, float(config["lr"]),
+            n_epochs=int(config["n_epochs"]), epochs_per_call=epc,
+            loss_kwargs={
+                "initial_condition": score_post,
+                "forward_model": forward_model,
+                "forward_params": fparams,
+            },
+            grad_clip=config.get("grad_clip"),
+        )
+
     gridsearch.grid_search(
         y_test, config, fparams, train_fn, eval_fn, {}, {},
-        trial_filter=trial_filter,
+        trial_filter=trial_filter, train_many=train_many,
     )
 
 
