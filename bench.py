@@ -14,6 +14,12 @@ numbers (BASELINE.md), so the baseline is measured, not quoted.
 Prints ONE JSON line:
   {"metric": "em_sample_steps_per_sec", "value": N, "unit": "sample_steps/s",
    "vs_baseline": ratio, ...}
+
+``bench.py --train`` instead benchmarks TRAINING throughput (PINN loss on
+the linear problem's shapes, whole-epoch jitted scans) against the measured
+torch per-batch baseline (benchmarks/torch_train_baseline.json; regenerate
+with ``python benchmarks/baseline_torch_train.py``) and prints its own
+single JSON line.
 """
 
 from __future__ import annotations
@@ -33,6 +39,79 @@ N_YS = 10
 N_SAMPLES = 30_000
 N_STEPS = 200
 N_REPS = 5
+
+TRAIN_EPOCHS = 60
+TRAIN_BATCHES = 90
+TRAIN_BATCH = 1000
+
+
+def bench_train() -> None:
+    """PINN-loss training throughput, reference workload shapes
+    (main_diffusion_linear.py: 512x3 CDE, batch 1000, 90 batches/epoch)."""
+    import optax
+
+    from dmip_tpu import data, train
+    from dmip_tpu.problems import LinearForwardProblem
+
+    prob = LinearForwardProblem()
+    key = jax.random.PRNGKey(0)
+    xs, ys = data.generate_dataset_linear(
+        key, prob.xdim, prob.forward, TRAIN_BATCHES * TRAIN_BATCH
+    )
+    model, cfg = get_model_from_args(
+        {"model": "CDE", "loss_fn": "PINNLoss", "lam": 0.1, "lam2": 1.0,
+         "hidden_layers": [512, 512, 512]},
+        {"xdim": 2, "ydim": 2},
+    )
+    loss_fn = model.make_loss_fn(cfg, initial_condition=prob.score_posterior)
+    optimizer = optax.adam(1e-4)
+    epc = 20
+    epoch_fn = train.make_epoch_fn(
+        loss_fn, optimizer,
+        lambda k: data.linear_epoch_batches(k, xs, ys, prob.noise_std,
+                                            TRAIN_BATCH),
+        epochs_per_call=epc, donate=False,
+    )
+    params = model.init(key)
+    opt_state = optimizer.init(params)
+    # warmup / compile
+    out = epoch_fn(params, opt_state, key, 0)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    params, opt_state = out[0], out[1]
+    for c in range(TRAIN_EPOCHS // epc):
+        params, opt_state, losses, _ = epoch_fn(
+            params, opt_state, key, (c + 1) * epc
+        )
+    jax.block_until_ready(losses)
+    elapsed = time.time() - t0
+    value = TRAIN_EPOCHS / elapsed
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "torch_train_baseline.json",
+    )
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        vs_baseline = value / baseline["pinn_epochs_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "pinn_train_epochs_per_sec",
+                "value": value,
+                "unit": "epochs/s",
+                "vs_baseline": vs_baseline,
+                "device": str(jax.devices()[0]),
+                "workload": f"{TRAIN_EPOCHS} epochs x {TRAIN_BATCHES} "
+                            f"batches x {TRAIN_BATCH}",
+                "elapsed_s": elapsed,
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -90,4 +169,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv[1:]:
+        bench_train()
+    else:
+        main()

@@ -75,6 +75,19 @@ def kl_pair(
 # Per-y evaluation kernels
 # ---------------------------------------------------------------------------
 
+# Jitted eval kernels keyed by (model, workload shape): grid searches call
+# evaluate_* once per trial with identical structure — without the cache each
+# trial would recompile the whole per-y pipeline (~30-60s each on the TPU
+# tunnel).  Models are frozen dataclasses (hashable by value); callables are
+# keyed by id (stable within a driver run).
+_KERNEL_CACHE: Dict[Tuple, Callable] = {}
+
+
+def _cached(key: Tuple, build: Callable[[], Callable]) -> Callable:
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = build()
+    return _KERNEL_CACHE[key]
+
 
 def sliced_w2(key: Array, x: Array, y: Array, n_proj: int = 128) -> Array:
     """Sliced 2-Wasserstein distance between two sample sets.
@@ -376,9 +389,13 @@ def evaluate_linear(
         from .parallel.mesh import batch_sharding, replicate
 
         chunk = use_mesh.size
-        eval_many = make_eval_many_linear(
-            model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim,
-            mesh=use_mesh,
+        eval_many = _cached(
+            ("lin_many", model, id(problem), n_samples_x, n_repeats,
+             num_steps, nbins, xlim, use_mesh),
+            lambda: make_eval_many_linear(
+                model, problem, n_samples_x, n_repeats, num_steps, nbins,
+                xlim, mesh=use_mesh,
+            ),
         )
         data_sh = batch_sharding(use_mesh)
         repl = replicate(use_mesh)
@@ -399,8 +416,12 @@ def evaluate_linear(
                 nll_model.append(float(out["nll_model"][j]))
                 mse_vals.append(float(out["mse_score"][j]))
                 w2_vals.append(float(out["w2"][j]))
-    eval_y = make_eval_y_linear(
-        model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim
+    eval_y = _cached(
+        ("lin_y", model, id(problem), n_samples_x, n_repeats, num_steps,
+         nbins, xlim),
+        lambda: make_eval_y_linear(
+            model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim
+        ),
     )
     for i in range(n_y):
         if use_mesh is None:
@@ -482,9 +503,14 @@ def evaluate_scatterometry(
     ykeys = jnp.stack(ykeys).reshape(n_y, n_repeats, -1)
 
     use_mesh = _resolve_eval_mesh(mesh, n_y)
-    eval_yr = make_eval_y_scatterometry(
-        model, forward_model, fparams, score_posterior_fn,
-        n_samples_x, num_steps, nbins, xlim,
+    fp_key = tuple(sorted(fparams.items()))
+    eval_yr = _cached(
+        ("scat_y", model, id(forward_model), id(score_posterior_fn), fp_key,
+         n_samples_x, num_steps, nbins, xlim),
+        lambda: make_eval_y_scatterometry(
+            model, forward_model, fparams, score_posterior_fn,
+            n_samples_x, num_steps, nbins, xlim,
+        ),
     )
     kl_vals, kl_rev_vals, nll_true, nll_model, mse_vals = [], [], [], [], []
 
@@ -492,9 +518,13 @@ def evaluate_scatterometry(
         from .parallel.mesh import batch_sharding, replicate
 
         chunk = use_mesh.size
-        eval_many = make_eval_many_scatterometry(
-            model, forward_model, fparams, score_posterior_fn,
-            n_samples_x, num_steps, nbins, xlim, mesh=use_mesh,
+        eval_many = _cached(
+            ("scat_many", model, id(forward_model), id(score_posterior_fn),
+             fp_key, n_samples_x, num_steps, nbins, xlim, use_mesh),
+            lambda: make_eval_many_scatterometry(
+                model, forward_model, fparams, score_posterior_fn,
+                n_samples_x, num_steps, nbins, xlim, mesh=use_mesh,
+            ),
         )
         data_sh = batch_sharding(use_mesh)
         repl = replicate(use_mesh)

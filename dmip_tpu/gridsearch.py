@@ -79,6 +79,7 @@ def grid_search(
     eval_args: Dict[str, Any],
     trial_filter: Optional[Callable[[int, Dict[str, Any]], bool]] = None,
     train_many: Optional[Callable[..., List[Any]]] = None,
+    skip_existing: bool = False,
 ) -> Dict[str, Any]:
     """Cartesian grid over config['params']; tracks best-by-KL / NLPD /
     Fisher (score-MSE).
@@ -95,6 +96,12 @@ def grid_search(
     replacement for the reference's sequential trial loop
     (model_selection.py:16) — and only structurally unique trials fall back
     to ``train``.  Evaluation and best-tracking are unchanged.
+
+    ``skip_existing``: trial-level resume for long grids (the reference has
+    none) — a trial whose results.csv already exists is not retrained; its
+    metrics are re-read from disk for best-tracking.  Ensemble groups train
+    only their missing members' group (a partially-done group retrains
+    whole, then only missing trials are re-evaluated).
     """
     from .utils.config import set_directories
 
@@ -125,6 +132,19 @@ def grid_search(
         for sig, poss in groups.items():
             if len(poss) < 2:
                 continue
+            if skip_existing:
+                poss = [
+                    p for p in poss
+                    if not os.path.exists(os.path.join(
+                        trial_dir(config["src_dir"], trials[p][1],
+                                  get_model_from_args(
+                                      trials[p][1], forward_model_params
+                                  )[1].name),
+                        "results", "results.csv",
+                    ))
+                ]
+                if not poss:
+                    continue
             full_cfgs = [trials[p][1] for p in poss]
             model, loss_cfg = get_model_from_args(
                 full_cfgs[0], forward_model_params
@@ -153,13 +173,31 @@ def grid_search(
         print("-----------------")
         print(trial_cfg, flush=True)
 
-        if pos in trained:
-            params = trained[pos]
-        else:
-            params = train(
-                model, loss_cfg, full_cfg, tdir, log_dir, **train_args
+        existing = os.path.join(out_dir, "results.csv")
+        if skip_existing and os.path.exists(existing):
+            cols = _read_results_csv(existing)
+            kl = float(np.mean(cols["KL2"]))
+            nll_true_col = next(
+                (c for c in ("NLL_true", "NLL_mcmc") if c in cols), None
             )
-        kl, nlpd, fisher = evaluate(model, params, y_test, out_dir, **eval_args)
+            nlpd = (
+                float(np.mean(np.abs(
+                    cols["NLL_diffusion"] - cols[nll_true_col]
+                )))
+                if nll_true_col and "NLL_diffusion" in cols else np.inf
+            )
+            fisher = float(np.mean(cols["MSE"])) if "MSE" in cols else np.inf
+            print(f"(existing results reused: KL={kl:.4f})", flush=True)
+        else:
+            if pos in trained:
+                params = trained[pos]
+            else:
+                params = train(
+                    model, loss_cfg, full_cfg, tdir, log_dir, **train_args
+                )
+            kl, nlpd, fisher = evaluate(
+                model, params, y_test, out_dir, **eval_args
+            )
         results.append({**trial_cfg, "kl": kl, "nlpd": nlpd, "fisher": fisher})
 
         for metric, val in (("kl", kl), ("nlpd", nlpd), ("fisher", fisher)):

@@ -64,6 +64,8 @@ def main():
             model, params, prob, y_eval, k_eval,
             out_dir=out_dir, plot_ys=config.get("plot_ys", ()),
             n_samples_x=int(config["n_samples_x"]),
+            n_repeats=int(config.get("eval_n_repeats", 10)),
+            num_steps=int(config.get("eval_num_steps", 200)),
         )
 
     trial_filter = None
@@ -91,6 +93,7 @@ def main():
         {"xdim": prob.xdim, "ydim": prob.ydim},
         train_fn, eval_fn, {}, {}, trial_filter=trial_filter,
         train_many=train_many,
+        skip_existing=bool(config.get("skip_existing", False)),
     )
 
 

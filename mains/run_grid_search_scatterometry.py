@@ -75,6 +75,11 @@ def main():
             y_eval, gt_loader, k_eval,
             out_dir=out_dir, plot_ys=config.get("plot_ys", ()),
             n_samples_x=int(config["n_samples_x"]),
+            # selection protocol: fewer repeats rank trials at a fraction of
+            # the full protocol's cost (absolute KL is repeat-count-biased;
+            # re-evaluate finalists with the full protocol)
+            n_repeats=int(config.get("eval_n_repeats", 10)),
+            num_steps=int(config.get("eval_num_steps", 200)),
         )
 
     trial_filter = None
@@ -105,6 +110,7 @@ def main():
     gridsearch.grid_search(
         y_test, config, fparams, train_fn, eval_fn, {}, {},
         trial_filter=trial_filter, train_many=train_many,
+        skip_existing=bool(config.get("skip_existing", False)),
     )
 
 
