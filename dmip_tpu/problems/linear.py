@@ -16,6 +16,7 @@ machinery tests.
 from __future__ import annotations
 
 import dataclasses
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -138,7 +139,30 @@ class LinearForwardProblem:
         y_res = y - (x @ self.A.T + self.b)
         return -x + (y_res @ self.Sigma_inv.T) @ self.A
 
-    # -- diffusion-time oracle (new; test support) -------------------------
+    # -- diffusion-time oracles (new; test + analysis support) -------------
+    def joint_moments(self) -> Tuple[Array, Array]:
+        """Mean/covariance of the JOINT z = (x, y): x ~ N(0, I),
+        y = Ax + b + eps.  m_z = (0, b); C_z = [[I, A^T], [A, A A^T + Sigma]]."""
+        mz = jnp.concatenate([jnp.zeros(self.xdim), self.b])
+        top = jnp.concatenate([jnp.eye(self.xdim), self.A.T], axis=1)
+        bot = jnp.concatenate([self.A, self.A @ self.A.T + self.Sigma], axis=1)
+        return mz, jnp.concatenate([top, bot], axis=0)
+
+    def diffused_joint_score(self, sde, z: Array, t: Array) -> Array:
+        """Analytic score of the VP-diffused JOINT marginal at time t — the
+        exact function CDiffE's net learns (CDiffE analysis oracle).
+
+        p_t(z_t) = N(alpha m_z, alpha^2 C_z + sigma^2 I).
+        """
+        mz, Cz = self.joint_moments()
+        alpha = sde.mean_weight(t)  # (n, 1)
+        var = sde.var(t)
+        d = self.xdim + self.ydim
+        cov_t = (alpha**2)[..., None] * Cz[None] \
+            + var[..., None] * jnp.eye(d)[None]  # (n, d, d)
+        res = z - alpha * mz
+        return -jnp.linalg.solve(cov_t, res[..., None])[..., 0]
+
     def diffused_posterior_score(self, sde, x: Array, y: Array, t: Array) -> Array:
         """Analytic score of the VP-diffused posterior marginal at time t.
 

@@ -82,11 +82,20 @@ def euler_maruyama_cdiffe(
     lmbd: float = 0.0,
     dtype=jnp.float32,
     noise_scale: float = 1.0,
+    y_noise: str = "fresh",
 ) -> Array:
     """CDiffE sampler: joint-state reverse SDE with re-diffused condition.
 
     ``noise_scale=0`` zeroes BOTH the per-step y re-diffusion noise and the
     integrator noise (deterministic testing hook, mirrors euler_maruyama).
+
+    ``y_noise`` selects how the observed y is re-diffused to time T - t_i
+    (the CDiffE-quality axis flagged in VERDICT r1 #4):
+      * 'fresh'  — new noise every step (the reference's intent,
+                   models/diffusion.py:172: y_t sampled inside the loop)
+      * 'shared' — ONE noise draw reused along the trajectory (a single
+                   forward Brownian path for y)
+      * 'mean'   — noiseless mean path y_t = alpha(s) y
 
     Mirrors CDiffE.forward (models/diffusion.py:158-180): each step diffuses
     the OBSERVED y forward to time T - t_i, concatenates [x_t, y_t], and takes
@@ -97,6 +106,8 @@ def euler_maruyama_cdiffe(
     semantics (commented-out 2-arg mu, sdes.py:81-83) is the unconditional
     joint drift a(z_t, T-t) — realized here with cond=None.
     """
+    if y_noise not in ("fresh", "shared", "mean"):
+        raise ValueError(f"y_noise must be fresh|shared|mean, got {y_noise!r}")
     k0, kdiff, kscan = jax.random.split(key, 3)
     ydim = y.shape[-1]
     x0 = jax.random.normal(k0, (num_samples, xdim), dtype) * std + mean
@@ -104,12 +115,18 @@ def euler_maruyama_cdiffe(
     z0 = jnp.concatenate([x0, inflated_ys], axis=1)
     delta = sde.T / num_steps
     ts = (jnp.arange(num_steps, dtype=dtype) / num_steps) * sde.T
+    eps_shared = jax.random.normal(kdiff, z0.shape, dtype)
 
     def step(x, inp):
         t_i, kd, kn = inp
         # re-diffuse the observed y to time T - t_i (models/diffusion.py:172)
         s = sde.T - t_i
-        eps_y = noise_scale * jax.random.normal(kd, z0.shape, dtype)
+        if y_noise == "fresh":
+            eps_y = noise_scale * jax.random.normal(kd, z0.shape, dtype)
+        elif y_noise == "shared":
+            eps_y = noise_scale * eps_shared
+        else:
+            eps_y = jnp.zeros_like(z0)
         y_t = (sde.base.mean_weight(s) * z0 + sde.base.std(s) * eps_y)[:, xdim:]
         z_t = jnp.concatenate([x, y_t], axis=1)
         t_col = jnp.full((num_samples, 1), t_i, dtype)

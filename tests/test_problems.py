@@ -173,3 +173,38 @@ def test_score_posterior_scatterometry_is_neg_energy_grad():
         e_minus = scat.get_log_posterior(x - dx, fwd, p["a"], p["b"], ys, p["lambd_bd"])
         fd = -(e_plus - e_minus) / (2 * h)
         np.testing.assert_allclose(s[0, d], fd[0], rtol=0.05, atol=1e-3)
+
+
+def test_diffused_joint_score_matches_autodiff(prob, key):
+    """The joint-diffusion oracle equals grad_z log N(z; alpha m_z,
+    alpha^2 C_z + sigma^2 I) computed by autodiff."""
+    from dmip_tpu.sde import VPSDE
+
+    sde = VPSDE()
+    mz, Cz = prob.joint_moments()
+    z = jax.random.normal(key, (5, 4))
+    t = jnp.full((5, 1), 0.37)
+
+    s_oracle = prob.diffused_joint_score(sde, z, t)
+
+    def logp(zi):
+        alpha = sde.mean_weight(jnp.asarray(0.37))
+        cov = alpha**2 * Cz + sde.var(jnp.asarray(0.37)) * jnp.eye(4)
+        return jax.scipy.stats.multivariate_normal.logpdf(zi, alpha * mz, cov)
+
+    s_auto = jax.vmap(jax.grad(logp))(z)
+    np.testing.assert_allclose(np.asarray(s_oracle), np.asarray(s_auto),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_joint_moments_match_empirical(prob, key):
+    """m_z / C_z agree with the empirical joint moments of simulated data."""
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (200_000, 2))
+    y = prob.forward(x) + prob.noise_std * jax.random.normal(k2, (200_000, 2))
+    z = jnp.concatenate([x, y], axis=1)
+    mz, Cz = prob.joint_moments()
+    np.testing.assert_allclose(np.asarray(z.mean(0)), np.asarray(mz),
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(jnp.cov(z.T)), np.asarray(Cz),
+                               atol=0.03)

@@ -77,3 +77,36 @@ def test_em_deterministic_under_same_key(key):
     a = euler_maruyama(sde, drift_a, key, None, 64, 2, 10)
     b = euler_maruyama(sde, drift_a, key, None, 64, 2, 10)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cdiffe_y_noise_variants(key):
+    """All three y re-diffusion modes run, are finite, and 'mean' is
+    deterministic given noise_scale=0 (testing hook)."""
+    import pytest
+
+    from dmip_tpu.problems import LinearForwardProblem
+    from dmip_tpu.samplers import euler_maruyama_cdiffe
+    from dmip_tpu.sde import ReverseSDE
+
+    prob = LinearForwardProblem()
+    sde = ReverseSDE()
+    drift = lambda z, c, s: sde.base.g(s) * prob.diffused_joint_score(
+        sde.base, z, s)
+    y = jnp.asarray([0.4, -0.2])
+    outs = {}
+    for variant in ("fresh", "shared", "mean"):
+        xs = euler_maruyama_cdiffe(sde, drift, key, y, 64, 2, 10,
+                                   y_noise=variant)
+        assert xs.shape == (64, 2)
+        assert np.all(np.isfinite(np.asarray(xs)))
+        outs[variant] = np.asarray(xs)
+    assert not np.allclose(outs["fresh"], outs["mean"])
+
+    a = euler_maruyama_cdiffe(sde, drift, key, y, 64, 2, 10,
+                              y_noise="mean", noise_scale=0.0)
+    b = euler_maruyama_cdiffe(sde, drift, key, y, 64, 2, 10,
+                              y_noise="fresh", noise_scale=0.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        euler_maruyama_cdiffe(sde, drift, key, y, 8, 2, 2, y_noise="bogus")
