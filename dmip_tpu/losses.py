@@ -577,6 +577,19 @@ def posterior_loss(
     surrogate at the Tweedie estimate x_0 plus 3 VHPs through the prior net —
     is detached, matching create_graph=False in the reference
     (losses.py:349-371).
+
+    DOCUMENTED DIVERGENCE (reference bug, SURVEY.md §2.3.13): the reference's
+    heteroscedastic correction vector is ``v3 = (y-f)^2 f / prefactor``
+    (losses.py:358) where the true gradient of
+    -(y-f)^2 / (2 prefactor) - 0.5 log(prefactor) w.r.t. x requires
+    ``v3 = (y-f)^2 f / prefactor^2`` (the term comes from differentiating
+    the VARIANCE, so the chain rule divides by prefactor twice).  Measured
+    against autodiff of the exact Gaussian log-likelihood the reference
+    formula has ~190% relative error; the corrected one is exact to 4e-7
+    (tests/test_posterior_loss_parity.py::test_likelihood_target_matches_autodiff).
+    The model is marked "not used in the thesis" in the reference, so the bug
+    was never caught there; with it, DPS plateaus at KL ~3.2 on
+    scatterometry regardless of lam.
     """
     batch = x.shape[0]
     t_flat = t.reshape(batch)
@@ -596,7 +609,7 @@ def posterior_loss(
         prefactor = (a * f_x) ** 2 + b**2
         v1 = f_x / prefactor
         v2 = (y_i - f_x) / prefactor
-        v3 = (y_i - f_x) ** 2 * f_x / prefactor
+        v3 = (y_i - f_x) ** 2 * f_x / prefactor**2
         vjp1, vjp2, vjp3 = vjp_f(v1)[0], vjp_f(v2)[0], vjp_f(v3)[0]
 
         def s_fn(xt):

@@ -97,7 +97,10 @@ def _torch_loss_and_grads(setup_vals):
     prefactor = (A_ERR * f_x) ** 2 + B_ERR**2
     v1 = f_x / prefactor
     v2 = (yy - f_x) / prefactor
-    v3 = (yy - f_x) ** 2 * f_x / prefactor
+    # corrected v3 (reference bug SURVEY.md §2.3.13 uses /prefactor, which
+    # has ~190% error vs the true likelihood gradient; see
+    # test_likelihood_target_matches_autodiff below)
+    v3 = (yy - f_x) ** 2 * f_x / prefactor**2
     vjp1 = torch.autograd.grad(f_x, x_0, v1, retain_graph=True)[0]
     vjp2 = torch.autograd.grad(f_x, x_0, v2, retain_graph=True)[0]
     vjp3 = torch.autograd.grad(f_x, x_0, v3, retain_graph=True)[0]
@@ -131,3 +134,39 @@ def test_posterior_loss_value_and_grad_parity(setup):
         np.testing.assert_allclose(jb, tb, rtol=5e-3, atol=2e-6)
     for (jw, jb), (tw, tb) in zip(g_prior, t_gp):
         np.testing.assert_allclose(jw, tw, rtol=5e-3, atol=2e-6)
+
+
+def test_likelihood_target_matches_autodiff():
+    """At sigma -> 0 (x_0 = x_t, no Hessian term) the likelihood target must
+    equal grad_x log N(y; f(x), (a f)^2 + b^2) computed by autodiff.  The
+    reference's v3 = (y-f)^2 f / prefactor (losses.py:358) fails this with
+    ~190% relative error; the corrected /prefactor^2 is exact
+    (reference bug SURVEY.md §2.3.13)."""
+    from dmip_tpu.problems import scatterometry as scat
+
+    fwd, fp = scat.load_forward_model()
+    a, b = fp["a"], fp["b"]
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (4, 3)) * 2 - 1
+    y = fwd(x[:1])[0] + 0.05 * jax.random.normal(
+        jax.random.fold_in(key, 1), (23,)
+    )
+
+    def loglik(xi):
+        f = fwd(xi[None])[0]
+        var = (a * f) ** 2 + b**2
+        return jnp.sum(-0.5 * (y - f) ** 2 / var - 0.5 * jnp.log(var))
+
+    grad_true = jax.vmap(jax.grad(loglik))(x)
+
+    def target(xi):
+        f, vjp = jax.vjp(lambda z: fwd(z[None])[0], xi)
+        pref = (a * f) ** 2 + b**2
+        v1 = f / pref
+        v2 = (y - f) / pref
+        v3 = (y - f) ** 2 * f / pref**2
+        return -(a**2) * vjp(v1)[0] + vjp(v2)[0] + a**2 * vjp(v3)[0]
+
+    t_fix = jax.vmap(target)(x)
+    np.testing.assert_allclose(np.asarray(t_fix), np.asarray(grad_true),
+                               rtol=1e-4, atol=1e-5)
