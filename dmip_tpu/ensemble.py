@@ -272,6 +272,20 @@ def make_train_many(
                     for e in range(hist.shape[0]):
                         w.scalar("Train/Loss", float(hist[e, i]), e)
         ens = jax.device_get(ens)
-        return [trial_params(ens, i) for i in range(n_valid)]
+        out = [trial_params(ens, i) for i in range(n_valid)]
+        # per-trial checkpoints: finalists can be re-evaluated (e.g. with the
+        # full protocol) without retraining, and a crash after training
+        # loses nothing
+        import os as _os
+
+        from .checkpoints import save_checkpoint
+
+        for i, tdir in enumerate(train_dirs):
+            save_checkpoint(
+                _os.path.join(tdir, "checkpoint"), out[i],
+                step=n_epochs, key=k_train,
+                extra={"lam": float(lams[i]), "lam2": float(lam2s[i])},
+            )
+        return out
 
     return train_many

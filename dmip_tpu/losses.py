@@ -553,6 +553,64 @@ def pinn2_loss(
 # ---------------------------------------------------------------------------
 
 
+def likelihood_score_target(
+    prior_apply: Callable[..., Array],
+    prior_params,
+    base_sde: VPSDE,
+    forward_fn: Callable[[Array], Array],
+    x_t: Array,
+    y: Array,
+    t: Array,
+    *,
+    a: float,
+    b: float,
+    s_prior: Optional[Array] = None,
+) -> Array:
+    """alpha * grad_{x_t} log p(y | x_hat_0(x_t)) — the DPS likelihood score.
+
+    Tweedie estimate x_hat_0 = (x_t + sigma^2 s_prior) / alpha, then the
+    exact gradient of the heteroscedastic Gaussian log-likelihood
+    log N(y; f(x_0), (a f)^2 + b^2) through the frozen surrogate (3 VJPs)
+    and the chain rule through x_hat_0 (3 VHPs against the prior net).
+    This is both the training target for the likelihood net
+    (:func:`posterior_loss`) and the ANALYTIC guidance used by the
+    DPS sampler's ``guidance='analytic'`` mode (Chung & Kim's actual
+    algorithm uses this gradient directly rather than a learned net).
+    Uses the corrected v3 (reference bug SURVEY.md §2.3.13).
+    """
+    batch = x_t.shape[0]
+    t_flat = t.reshape(batch)
+    std = base_sde.std(t)
+    alpha = base_sde.mean_weight(t)
+    if s_prior is None:
+        s_prior = prior_apply(prior_params, x_t, t)
+    # Tweedie mean of p(x_0 | x_t)  (reference losses.py:381)
+    x_0 = (x_t + std**2 * s_prior) / alpha
+
+    def per_sample_target(x0_i, y_i, xt_i, t_i, sigma_i):
+        f_x, vjp_f = jax.vjp(forward_fn, x0_i)
+        prefactor = (a * f_x) ** 2 + b**2
+        v1 = f_x / prefactor
+        v2 = (y_i - f_x) / prefactor
+        v3 = (y_i - f_x) ** 2 * f_x / prefactor**2
+        vjp1, vjp2, vjp3 = vjp_f(v1)[0], vjp_f(v2)[0], vjp_f(v3)[0]
+
+        def s_fn(xt):
+            return prior_apply(prior_params, xt[None], t_i)[0]
+
+        _, vjp_s = jax.vjp(s_fn, xt_i)
+        vhp1, vhp2, vhp3 = vjp_s(vjp1)[0], vjp_s(vjp2)[0], vjp_s(vjp3)[0]
+        sig2 = sigma_i**2
+        return (
+            -(a**2) * (sig2 * vhp1 + vjp1)
+            + sig2 * vhp2
+            + vjp2
+            + a**2 * (sig2 * vhp3 + vjp3)
+        )
+
+    return jax.vmap(per_sample_target)(x_0, y, x_t, t_flat, std.reshape(batch))
+
+
 def posterior_loss(
     prior_apply: Callable[..., Array],
     likelihood_apply: Callable[..., Array],
@@ -592,7 +650,6 @@ def posterior_loss(
     scatterometry regardless of lam.
     """
     batch = x.shape[0]
-    t_flat = t.reshape(batch)
     x_t = base_sde.diffuse(t, x, eps)
     std = base_sde.std(t)
     alpha = base_sde.mean_weight(t)
@@ -601,34 +658,12 @@ def posterior_loss(
     s_likelihood = likelihood_apply(likelihood_params, x_t, y, t)
     prior = dsm_loss(s_prior, std, eps)
 
-    # Tweedie mean of p(x_0 | x_t)  (reference losses.py:381)
-    x_0 = (x_t + std**2 * s_prior) / alpha
-
-    def per_sample_target(x0_i, y_i, xt_i, t_i, sigma_i):
-        f_x, vjp_f = jax.vjp(forward_fn, x0_i)
-        prefactor = (a * f_x) ** 2 + b**2
-        v1 = f_x / prefactor
-        v2 = (y_i - f_x) / prefactor
-        v3 = (y_i - f_x) ** 2 * f_x / prefactor**2
-        vjp1, vjp2, vjp3 = vjp_f(v1)[0], vjp_f(v2)[0], vjp_f(v3)[0]
-
-        def s_fn(xt):
-            return prior_apply(prior_params, xt[None], t_i)[0]
-
-        _, vjp_s = jax.vjp(s_fn, xt_i)
-        vhp1, vhp2, vhp3 = vjp_s(vjp1)[0], vjp_s(vjp2)[0], vjp_s(vjp3)[0]
-        sig2 = sigma_i**2
-        return (
-            -(a**2) * (sig2 * vhp1 + vjp1)
-            + sig2 * vhp2
-            + vjp2
-            + a**2 * (sig2 * vhp3 + vjp3)
+    target = jax.lax.stop_gradient(
+        likelihood_score_target(
+            prior_apply, prior_params, base_sde, forward_fn, x_t, y, t,
+            a=a, b=b, s_prior=s_prior,
         )
-
-    target = jax.vmap(per_sample_target)(
-        x_0, y, x_t, t_flat, std.reshape(batch)
     )
-    target = jax.lax.stop_gradient(target)
 
     likelihood = jnp.sum((alpha * s_likelihood - target) ** 2, axis=1)
     loss = jnp.mean(prior + lam * likelihood)

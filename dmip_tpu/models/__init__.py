@@ -1,5 +1,6 @@
 from .diffusion import (
     CDE,
+    AnalyticGuidanceDPS,
     CDiffE,
     DiffusionModel,
     LossConfig,

@@ -311,3 +311,69 @@ class PosteriorDiffusionEstimator(DiffusionModel):
             )
 
         return loss_fn
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class AnalyticGuidanceDPS:
+    """DPS with ANALYTIC likelihood guidance — Chung & Kim's actual
+    algorithm (Diffusion Posterior Sampling, 2022): the posterior score is
+    prior_net(x_t, t) + grad_{x_t} log p(y | x_hat_0(x_t)) computed EXACTLY
+    through the frozen forward model (losses.likelihood_score_target), with
+    no learned likelihood net.
+
+    Wraps a trained :class:`PosteriorDiffusionEstimator`'s prior net (the
+    ``params['prior']`` pytree of its checkpoint).  The reference's twist of
+    LEARNING the likelihood term (losses.py:293-386, "not used in the
+    thesis") regresses a net onto this same target; using the target
+    directly removes that approximation at sampling time.
+
+    Duck-types the DiffusionModel surface the evaluation harness needs
+    (sde / apply_a / sample); eq=False keeps instances hashable by identity
+    for the eval-kernel cache.
+    """
+
+    base_model: PosteriorDiffusionEstimator
+    forward_model: Callable[[Array], Array]
+    forward_params: Dict[str, float]
+
+    @property
+    def sde(self) -> ReverseSDE:
+        return self.base_model.sde
+
+    @property
+    def xdim(self) -> int:
+        return self.base_model.xdim
+
+    @property
+    def ydim(self) -> int:
+        return self.base_model.ydim
+
+    def apply_a(self, params, z: Array, cond: Array, t: Array) -> Array:
+        base = self.sde.base
+        fp = self.forward_params
+        s_prior = nets.prior_mlp_apply(params["prior"], z, t)
+        target = L.likelihood_score_target(
+            lambda p, xx, tt: nets.prior_mlp_apply(p, xx, tt),
+            params["prior"], base, self.forward_model, z, cond, t,
+            a=fp["a"], b=fp["b"], s_prior=s_prior,
+        )
+        alpha = base.mean_weight(t)
+        return base.g(t) * (s_prior + target / alpha)
+
+    def sample(
+        self,
+        params,
+        key: Array,
+        y: Array,
+        num_samples: int = 2000,
+        num_steps: int = 200,
+        mean: float = 0.0,
+        std: float = 1.0,
+        dtype=jnp.float32,
+        method: str = "xla",
+    ) -> Array:
+        drift = lambda z, c, s: self.apply_a(params, z, c, s)
+        return samplers.euler_maruyama(
+            self.sde, drift, key, y, num_samples, self.xdim, num_steps,
+            mean=mean, std=std, dtype=dtype,
+        )

@@ -1,0 +1,97 @@
+"""Re-evaluate grid-search finalists with the FULL reference protocol.
+
+The reference-scale grid ranks trials with a cheap selection protocol
+(configs/config_gridsearch_scatterometry_full.yml: 50 ys x 2 repeats); this
+tool walks the grid tree, picks the top-K trials by selection KL, reloads
+their checkpoints (saved by dmip_tpu.ensemble.make_train_many), and runs the
+reference protocol (100 ys x 10 repeats x 30k) on each.
+
+Usage: PYTHONPATH=.:/root/.axon_site python tools/reeval_finalists.py \
+          --src_dir grid_search_results/scatterometry_full --top 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from dmip_tpu import checkpoints, data, evaluate, gridsearch, train
+from dmip_tpu.problems import scatterometry as scat
+
+
+def collect_trials(src_dir: str):
+    """(mean selection KL, trial dir, params-from-path) for every results.csv."""
+    rows = []
+    for root, _dirs, files in os.walk(src_dir):
+        if "results.csv" not in files or os.path.basename(root) != "results":
+            continue
+        cols = gridsearch._read_results_csv(os.path.join(root, "results.csv"))
+        if "KL2" not in cols:
+            continue
+        tdir = os.path.dirname(root)
+        rows.append((float(np.mean(cols["KL2"])), tdir,
+                     gridsearch.get_params_from_path(tdir)))
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--src_dir", default="grid_search_results/scatterometry_full")
+    p.add_argument("--top", type=int, default=3)
+    p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    p.add_argument("--hidden", default="512,512,512")
+    p.add_argument("--n_samples_y", type=int, default=100)
+    args = p.parse_args()
+
+    trials = collect_trials(args.src_dir)
+    print(f"{len(trials)} trials found; top {args.top} by selection KL:")
+    for kl, tdir, params in trials[: args.top]:
+        print(f"  sel-KL={kl:.4f}  {params}  ({tdir})")
+
+    forward_model, fparams = scat.load_forward_model()
+    key = jax.random.PRNGKey(13)
+    k_data, k_init, _k_train, k_eval = jax.random.split(key, 4)
+    _, y_test = data.generate_dataset_scatterometry(
+        k_data, forward_model, fparams["a"], fparams["b"],
+        size=args.n_samples_y,
+    )
+    score_post = scat.score_posterior(
+        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
+    )
+    gt_loader = lambda i, j: np.load(
+        os.path.join(args.gt_dir, str(i), f"{j}.npy")
+    )
+    hidden = [int(v) for v in args.hidden.split(",")]
+
+    for sel_kl, tdir, trial_params in trials[: args.top]:
+        cfg = {"model": "CDE", "hidden_layers": hidden,
+               "loss_fn": trial_params.get("loss_fn", "PINNLoss")
+               .replace("DSM_PDELoss", "DSM_PDE"), **trial_params}
+        cfg.pop("pde_metric", None)  # loss name drives the factory here
+        model, _ = train.get_model_from_args(
+            {"model": "CDE", "loss_fn": "DSM", "hidden_layers": hidden},
+            fparams,
+        )
+        template = model.init(k_init)
+        restored = checkpoints.load_checkpoint(
+            os.path.join(tdir, "checkpoint"), template, None
+        )
+        out_dir = os.path.join(tdir, "results_full")
+        kl, nlpd, mse = evaluate.evaluate_scatterometry(
+            model, restored["params"], forward_model, fparams, score_post,
+            y_test, gt_loader, k_eval, out_dir=out_dir,
+            n_samples_x=30000, n_repeats=10, verbose=False,
+        )
+        print(f"FULL: sel-KL={sel_kl:.4f} -> KL={kl:.4f} NLPD={nlpd:.4f} "
+              f"MSE={mse:.4f}  {trial_params}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
