@@ -335,6 +335,12 @@ class AnalyticGuidanceDPS:
     base_model: PosteriorDiffusionEstimator
     forward_model: Callable[[Array], Array]
     forward_params: Dict[str, float]
+    # Per-sample cap on the guidance-score norm.  The exact gradient of the
+    # sharp scatterometry likelihood (b=0.01 -> precisions up to 1e4) makes
+    # the reverse SDE stiff and Euler-Maruyama diverges (measured: KL 13.2,
+    # NLPD 1e8 unclipped); norm-capping is the standard DPS stabilization
+    # (Chung et al. scale guidance by zeta/||y - f(x_hat_0)||).
+    guidance_clip: Optional[float] = 100.0
 
     @property
     def sde(self) -> ReverseSDE:
@@ -358,7 +364,11 @@ class AnalyticGuidanceDPS:
             a=fp["a"], b=fp["b"], s_prior=s_prior,
         )
         alpha = base.mean_weight(t)
-        return base.g(t) * (s_prior + target / alpha)
+        s_lik = target / alpha
+        if self.guidance_clip is not None:
+            norm = jnp.linalg.norm(s_lik, axis=-1, keepdims=True)
+            s_lik = s_lik * jnp.minimum(1.0, self.guidance_clip / (norm + 1e-12))
+        return base.g(t) * (s_prior + s_lik)
 
     def sample(
         self,
