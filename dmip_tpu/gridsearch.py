@@ -133,16 +133,21 @@ def grid_search(
             if len(poss) < 2:
                 continue
             if skip_existing:
-                poss = [
-                    p for p in poss
-                    if not os.path.exists(os.path.join(
-                        trial_dir(config["src_dir"], trials[p][1],
-                                  get_model_from_args(
-                                      trials[p][1], forward_model_params
-                                  )[1].name),
-                        "results", "results.csv",
-                    ))
-                ]
+                def _done(p):
+                    tdir = trial_dir(
+                        config["src_dir"], trials[p][1],
+                        get_model_from_args(
+                            trials[p][1], forward_model_params
+                        )[1].name,
+                    )
+                    return (
+                        os.path.exists(os.path.join(tdir, "results",
+                                                    "results.csv"))
+                        or os.path.exists(os.path.join(tdir, "checkpoint",
+                                                       "manifest.json"))
+                    )
+
+                poss = [p for p in poss if not _done(p)]
                 if not poss:
                     continue
             full_cfgs = [trials[p][1] for p in poss]
@@ -189,8 +194,22 @@ def grid_search(
             fisher = float(np.mean(cols["MSE"])) if "MSE" in cols else np.inf
             print(f"(existing results reused: KL={kl:.4f})", flush=True)
         else:
+            ckpt_dir = os.path.join(tdir, "checkpoint")
             if pos in trained:
                 params = trained[pos]
+            elif skip_existing and os.path.exists(
+                os.path.join(ckpt_dir, "manifest.json")
+            ):
+                # crash-resume: a prior run trained this trial (per-trial
+                # checkpoints from ensemble training) but died before eval
+                import jax as _jax
+
+                from . import checkpoints as _ckpt
+
+                params = _ckpt.load_checkpoint(
+                    ckpt_dir, model.init(_jax.random.PRNGKey(0)), None
+                )["params"]
+                print("(checkpoint reused, eval only)", flush=True)
             else:
                 params = train(
                     model, loss_cfg, full_cfg, tdir, log_dir, **train_args
