@@ -191,24 +191,32 @@ def make_eval_y_scatterometry(
     a, b, lambd_bd = fparams["a"], fparams["b"], fparams["lambd_bd"]
 
     def eval_y_repeat_raw(params, key, y, x_true):
-        ys_tiled = jnp.broadcast_to(y, (n_samples_x, y.shape[-1]))
-        energy = lambda x: get_log_posterior(
-            x, forward_model, a, b, ys_tiled, lambd_bd
-        )
+        # GT arrays may carry a different sample count than n_samples_x
+        # (e.g. full 30k MCMC repeats against a reduced-eval run), so y is
+        # tiled per consumer array rather than once.
+        def tiled(n):
+            return jnp.broadcast_to(y, (n, y.shape[-1]))
+
+        def energy(x):
+            return get_log_posterior(
+                x, forward_model, a, b, tiled(x.shape[0]), lambd_bd
+            )
+
         x_pred = model.sample(params, key, y, n_samples_x, num_steps)
 
         t0 = jnp.zeros((x_true.shape[0], 1))
         g0 = base.g(t0)
+        ys_true = tiled(x_true.shape[0])
         score_pred = (
-            model.apply_a(params, x_true, ys_tiled, t0) / g0
+            model.apply_a(params, x_true, ys_true, t0) / g0
         )[:, : x_true.shape[-1]]
-        score_true = score_posterior_fn(x_true, ys_tiled)
+        score_true = score_posterior_fn(x_true, ys_true)
         mse = jnp.mean(jnp.sum((score_pred - score_true) ** 2, axis=1))
 
         hist_t = histogramdd_flat(x_true, nbins, lo, hi)
         hist_p = histogramdd_flat(x_pred, nbins, lo, hi)
-        nll_t = jnp.sum(energy(x_true)) / n_samples_x
-        nll_p = jnp.sum(energy(x_pred)) / n_samples_x
+        nll_t = jnp.mean(energy(x_true))
+        nll_p = jnp.mean(energy(x_pred))
         return dict(
             hist_true=hist_t, hist_model=hist_p, nll_true=nll_t,
             nll_model=nll_p, mse_score=mse, x_pred=x_pred,

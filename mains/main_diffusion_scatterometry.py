@@ -89,6 +89,31 @@ def run(config: dict, gt_dir: str) -> tuple:
         n_samples_x=int(config["n_samples_x"]),
         n_repeats=int(config.get("n_repeats", 10)),
     )
+
+    if config.get("eval_analytic_guidance") and config.get("model") == "Posterior":
+        # Re-evaluate the same trained prior net under ANALYTIC likelihood
+        # guidance (Chung & Kim's DPS proper; models.AnalyticGuidanceDPS):
+        # the learned likelihood net is replaced by the exact
+        # grad log p(y | x_hat_0) at sampling time.
+        from dmip_tpu.models import AnalyticGuidanceDPS
+
+        ag = AnalyticGuidanceDPS(
+            model, forward_model, fparams,
+            guidance_clip=float(config.get("guidance_clip", 100.0)),
+        )
+        ag_out = config["out_dir"] + "_analytic"
+        os.makedirs(ag_out, exist_ok=True)
+        ag_metrics = evaluate.evaluate_scatterometry(
+            ag, params, forward_model, fparams, score_post,
+            y_test, gt_loader, k_eval,
+            out_dir=ag_out, plot_ys=(),
+            n_samples_x=int(config["n_samples_x"]),
+            n_repeats=int(config.get("n_repeats", 10)),
+        )
+        print(
+            f"analytic-guidance DPS: KL={ag_metrics[0]:.4f} "
+            f"NLPD={ag_metrics[1]:.4f} score-MSE={ag_metrics[2]:.4f}"
+        )
     return params, metrics
 
 

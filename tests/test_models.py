@@ -120,3 +120,36 @@ def test_cdiffe_dsm_matches_joint_dimension(linear_data, key):
     assert z0.shape == (8, 4)
     out = model.apply_a(params, z0, None, jnp.zeros((8, 1)))
     assert out.shape == (8, 4)
+
+
+def test_analytic_guidance_dps_duck_types_and_clips(key):
+    """AnalyticGuidanceDPS composes a trained prior net with the EXACT
+    likelihood gradient (models/diffusion.py AnalyticGuidanceDPS); the
+    guidance term must be norm-capped and the wrapper must drive the same
+    sampling surface as the learned-likelihood model."""
+    from dmip_tpu.models import AnalyticGuidanceDPS
+
+    fwd, p = scat.load_forward_model()
+    base = PosteriorDiffusionEstimator(xdim=3, ydim=23, hidden_layers=HID)
+    params = base.init(key)
+    ag = AnalyticGuidanceDPS(base, fwd, p, guidance_clip=5.0)
+    assert ag.xdim == 3 and ag.ydim == 23 and ag.sde is base.sde
+
+    kx, kd = jax.random.split(key)
+    x = scat.sample_prior(kx, 16, p["lambd_bd"])
+    y = scat.noisy_forward(kd, fwd, x, p["a"], p["b"])
+    t = jnp.full((16, 1), 0.5)
+
+    out = ag.apply_a(params, x, y, t)
+    assert out.shape == (16, 3) and np.all(np.isfinite(np.asarray(out)))
+
+    # the guidance term is ||s_total/g - s_prior|| <= clip per sample
+    from dmip_tpu import nets
+    g = base.sde.base.g(t)
+    s_prior = nets.prior_mlp_apply(params["prior"], x, t)
+    lik = np.asarray(out / g - s_prior)
+    assert np.all(np.linalg.norm(lik, axis=-1) <= 5.0 + 1e-4)
+
+    samples = ag.sample(params, key, y[0], 32, 10)
+    assert samples.shape == (32, 3)
+    assert np.all(np.isfinite(np.asarray(samples)))
