@@ -193,3 +193,39 @@ def test_evaluate_scatterometry_sharded_matches_sequential(key, tmp_path):
     b = np.asarray([[float(v) for v in r[1:]] for r in rows_m[1:]])
     assert a.shape == (5, 5)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_evaluate_scatterometry_gt_size_differs_from_n_samples_x(key, tmp_path):
+    """GT repeats may carry a different sample count than n_samples_x (full
+    30k MCMC halves scored against a reduced-eval run): y must tile per
+    consumer array and NLLs normalize by each array's own count."""
+    from dmip_tpu.evaluate import evaluate_scatterometry
+
+    model = CDE(3, 4, (16, 16))
+    params = model.init(key)
+    fwd = lambda x: jnp.tanh(x @ jnp.ones((3, 4)) * 0.3)
+    fparams = {"a": 0.2, "b": 0.01, "lambd_bd": 1000.0}
+    score_post = lambda x, y: -x
+    ys = fwd(jax.random.normal(key, (3, 3)))
+    rng = np.random.default_rng(0)
+    gt = rng.standard_normal((3, 2, 512, 3)).astype(np.float32) * 0.3
+
+    kl, nlpd, mse = evaluate_scatterometry(
+        model, params, fwd, fparams, score_post, ys,
+        lambda i, j: gt[i, j], jax.random.fold_in(key, 9),
+        out_dir=str(tmp_path), mesh=None, n_samples_x=256, n_repeats=2,
+        num_steps=8, nbins=10, verbose=False,
+    )
+    assert np.isfinite([kl, nlpd, mse]).all()
+
+    # doubling the GT count must leave per-sample NLL normalization intact:
+    # NLL_true is a mean, so duplicating GT rows changes nothing
+    gt2 = np.concatenate([gt, gt], axis=2)
+    kl2, nlpd2, _ = evaluate_scatterometry(
+        model, params, fwd, fparams, score_post, ys,
+        lambda i, j: gt2[i, j], jax.random.fold_in(key, 9),
+        out_dir=str(tmp_path / "b"), mesh=None, n_samples_x=256, n_repeats=2,
+        num_steps=8, nbins=10, verbose=False,
+    )
+    np.testing.assert_allclose(kl2, kl, rtol=1e-5)
+    np.testing.assert_allclose(nlpd2, nlpd, rtol=1e-4)
