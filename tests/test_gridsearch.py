@@ -93,3 +93,55 @@ def test_traverse_subfolders(tmp_path):
     assert abs(best["kl"][0] - 0.25) < 1e-9
     assert best["kl"][1]["loss_fn"] == "DSM_PDELoss"
     assert best["nll_diff"][1] is not None
+
+
+def test_reeval_finalists_collect_and_factory_mapping(tmp_path):
+    """tools/reeval_finalists: trials are collected from results trees sorted
+    by selection KL, and path-recovered params rebuild a valid factory
+    config (DSM_PDELoss path segment maps back to the DSM_PDE loss name)."""
+    import csv
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "reeval_finalists",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "reeval_finalists.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from dmip_tpu import gridsearch, train
+
+    layouts = [
+        ("FPE/PINNLoss/L1/L2/lam:0.1/lam2:0.01", 0.7),
+        ("cScoreFPE/DSM_PDELoss/L2/lam:1.0", 0.3),
+        ("FPE/PINNLoss/L2/L1/lam:0.001/lam2:1.0", 0.5),
+    ]
+    for rel, kl in layouts:
+        rdir = tmp_path / rel / "results"
+        rdir.mkdir(parents=True)
+        with open(rdir / "results.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["KL2", "NLL_true"])
+            w.writeheader()
+            w.writerow({"KL2": kl, "NLL_true": 1.0})
+            w.writerow({"KL2": kl + 0.2, "NLL_true": 1.0})
+
+    rows = mod.collect_trials(str(tmp_path))
+    assert len(rows) == 3
+    assert rows[0][0] < rows[1][0] < rows[2][0]  # sorted by mean KL
+    assert rows[0][2]["loss_fn"] == "DSM_PDELoss"
+
+    for _kl, _tdir, params in rows:
+        factory_cfg = {
+            "model": "CDE", "hidden_layers": [8, 8], **params,
+            "loss_fn": params.get("loss_fn", "PINNLoss")
+            .replace("DSM_PDELoss", "DSM_PDE"),
+        }
+        model, loss_cfg = train.get_model_from_args(
+            factory_cfg, {"xdim": 3, "ydim": 23}
+        )
+        assert loss_cfg.name in ("PINNLoss", "DSM_PDE")
+        if "lam" in params:
+            assert loss_cfg.lam == params["lam"]

@@ -6,8 +6,14 @@ tool walks the grid tree, picks the top-K trials by selection KL, reloads
 their checkpoints (saved by dmip_tpu.ensemble.make_train_many), and runs the
 reference protocol (100 ys x 10 repeats x 30k) on each.
 
+With ``--retrain_epochs N`` each finalist is instead RETRAINED from scratch
+for N epochs (the reference's full 20k schedule; same init/train seeds the
+grid used) before the full-protocol evaluation — the second stage of the
+two-stage selection protocol in config_gridsearch_scatterometry_full.yml.
+
 Usage: PYTHONPATH=.:/root/.axon_site python tools/reeval_finalists.py \
-          --src_dir grid_search_results/scatterometry_full --top 3
+          --src_dir grid_search_results/scatterometry_full --top 3 \
+          [--retrain_epochs 20000]
 """
 
 from __future__ import annotations
@@ -48,6 +54,12 @@ def main():
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
     p.add_argument("--hidden", default="512,512,512")
     p.add_argument("--n_samples_y", type=int, default=100)
+    p.add_argument("--retrain_epochs", type=int, default=0,
+                   help="retrain each finalist from scratch for this many "
+                        "epochs before the full eval (0 = reuse checkpoint)")
+    p.add_argument("--batch_size", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--epochs_per_call", type=int, default=100)
     args = p.parse_args()
 
     trials = collect_trials(args.src_dir)
@@ -70,22 +82,51 @@ def main():
     )
     hidden = [int(v) for v in args.hidden.split(",")]
 
+    k_train = _k_train  # the grid's own training-key schedule
     for sel_kl, tdir, trial_params in trials[: args.top]:
-        cfg = {"model": "CDE", "hidden_layers": hidden,
-               "loss_fn": trial_params.get("loss_fn", "PINNLoss")
-               .replace("DSM_PDELoss", "DSM_PDE"), **trial_params}
-        cfg.pop("pde_metric", None)  # loss name drives the factory here
-        model, _ = train.get_model_from_args(
-            {"model": "CDE", "loss_fn": "DSM", "hidden_layers": hidden},
-            fparams,
-        )
-        template = model.init(k_init)
-        restored = checkpoints.load_checkpoint(
-            os.path.join(tdir, "checkpoint"), template, None
-        )
+        factory_cfg = {
+            "model": "CDE", "hidden_layers": hidden, **trial_params,
+            "loss_fn": trial_params.get("loss_fn", "PINNLoss")
+            .replace("DSM_PDELoss", "DSM_PDE"),
+        }
+        model, loss_cfg = train.get_model_from_args(factory_cfg, fparams)
+
+        if args.retrain_epochs > 0:
+            import optax
+
+            loss_fn = model.make_loss_fn(
+                loss_cfg, initial_condition=score_post,
+                forward_model=forward_model, forward_params=fparams,
+            )
+            optimizer = optax.adam(args.lr)
+            epoch_fn = train.make_epoch_fn(
+                loss_fn, optimizer,
+                lambda k: data.scatterometry_epoch_batches(
+                    k, forward_model, fparams["a"], fparams["b"],
+                    fparams["lambd_bd"], args.batch_size,
+                ),
+                epochs_per_call=args.epochs_per_call,
+            )
+            params, _, _ = train.fit(
+                epoch_fn, model.init(k_init), optimizer, k_train,
+                num_epochs=args.retrain_epochs,
+                epochs_per_call=args.epochs_per_call,
+                desc=f"retrain:{os.path.basename(tdir)}",
+            )
+            checkpoints.save_checkpoint(
+                os.path.join(tdir, "checkpoint_full"), params,
+                step=args.retrain_epochs, key=k_train,
+            )
+        else:
+            template = model.init(k_init)
+            restored = checkpoints.load_checkpoint(
+                os.path.join(tdir, "checkpoint"), template, None
+            )
+            params = restored["params"]
+
         out_dir = os.path.join(tdir, "results_full")
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
-            model, restored["params"], forward_model, fparams, score_post,
+            model, params, forward_model, fparams, score_post,
             y_test, gt_loader, k_eval, out_dir=out_dir,
             n_samples_x=30000, n_repeats=10, verbose=False,
         )
