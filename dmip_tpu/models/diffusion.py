@@ -158,11 +158,18 @@ class DiffusionModel:
         dtype=jnp.float32,
         method: str = "auto",
     ) -> Array:
-        """Euler-Maruyama posterior sampler (models/diffusion.py:27-46).
+        """Posterior sampler (reference models/diffusion.py:27-46).
 
-        method: 'auto' (fused Pallas kernel on TPU, XLA scan elsewhere),
-        'pallas', or 'xla'.
+        method: 'auto' (fused Pallas E-M kernel on TPU, XLA E-M scan
+        elsewhere), 'pallas', 'xla', or 'heun' (second-order
+        probability-flow ODE — samplers.heun_ode; no reference equivalent).
         """
+        if method == "heun":
+            drift = lambda z, c, s: self.apply_a(params, z, c, s)
+            return samplers.heun_ode(
+                self.sde, drift, key, y, num_samples, self.xdim, num_steps,
+                mean=mean, std=std, dtype=dtype,
+            )
         if method == "auto":
             method = "pallas" if self._pallas_eligible(params, y) else "xla"
         if method == "pallas":

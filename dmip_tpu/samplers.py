@@ -142,6 +142,63 @@ def euler_maruyama_cdiffe(
     return x_final
 
 
+def heun_ode(
+    sde: ReverseSDE,
+    drift_a: Callable[[Array, Optional[Array], Array], Array],
+    key: Array,
+    y: Optional[Array],
+    num_samples: int,
+    xdim: int,
+    num_steps: int = 50,
+    mean: float = 0.0,
+    std: float = 1.0,
+    dtype=jnp.float32,
+) -> Array:
+    """Second-order (Heun) probability-flow ODE sampler.
+
+    Capability the reference lacks (its only integrator is first-order
+    Euler-Maruyama, models/diffusion.py:38-42): the deterministic
+    probability-flow ODE shares the reverse SDE's marginals (Song et al.
+    2021, eq. 13) and its drift is this codebase's ``mu`` at ``lmbd=1``
+    (sigma(lmbd=1) = 0); Heun's trapezoidal corrector makes the integrator
+    second-order, so far fewer score-net evaluations reach the same sample
+    accuracy (the EDM sampler design, Karras et al. 2022).  Two drift
+    evaluations per step -> num_steps=50 costs half of a 200-step E-M run.
+
+    ``key`` only seeds the N(mean, std^2) initialization; the integration
+    itself is deterministic.  Returns (num_samples, xdim).
+
+    Caveat (measured on the linear problem): the deterministic flow has no
+    noise to damp score error, so sample tails amplify it — with the EXACT
+    score, 24 Heun steps transport near-exactly (moment error < 0.05,
+    tests/test_samplers.py), but with a partially-trained MLP score the E-M
+    sampler is more robust (cov error 0.03 vs 1-7 at 50-100 steps).  Use
+    for well-trained scores / oracle analysis; E-M remains the default.
+    """
+    k0, _ = jax.random.split(key)
+    x0 = jax.random.normal(k0, (num_samples, xdim), dtype) * std + mean
+    cond = None
+    if y is not None:
+        cond = jnp.broadcast_to(y.astype(dtype), (num_samples, y.shape[-1]))
+    delta = sde.T / num_steps
+    ts = (jnp.arange(num_steps, dtype=dtype) / num_steps) * sde.T
+    drift = lambda xx, cc, ss: drift_a(xx, cc, ss)
+
+    def mu(t_scalar, x):
+        t_col = jnp.full((num_samples, 1), t_scalar, dtype)
+        return sde.mu(drift, t_col, x, cond, lmbd=1.0)
+
+    def step(x, t_i):
+        d1 = mu(t_i, x)
+        x_euler = x + delta * d1
+        d2 = mu(t_i + delta, x_euler)
+        x_next = x + 0.5 * delta * (d1 + d2)
+        return x_next.astype(dtype), None
+
+    x_final, _ = jax.lax.scan(step, x0, ts)
+    return x_final
+
+
 def batched_sampler(sampler_fn):
     """vmap a single-condition sampler over a batch of ys and keys.
 

@@ -110,3 +110,50 @@ def test_cdiffe_y_noise_variants(key):
 
     with pytest.raises(ValueError):
         euler_maruyama_cdiffe(sde, drift, key, y, 8, 2, 2, y_noise="bogus")
+
+
+def test_heun_ode_beats_euler_at_equal_steps(key):
+    """Probability-flow Heun sampler (samplers.heun_ode; no reference
+    equivalent): with the EXACT diffused posterior score as drift, the
+    second-order integrator's posterior moments must beat 1st-order E-M at
+    the same step count, and land near the analytic posterior."""
+    from dmip_tpu.samplers import heun_ode
+
+    prob = LinearForwardProblem()
+    sde = ReverseSDE()
+    y = jnp.asarray([0.4, -0.2])
+    drift = lambda z, c, s: sde.base.g(s) * prob.diffused_posterior_score(
+        sde.base, z, y, s.reshape(-1)[0] if hasattr(s, "reshape") else s
+    )
+    mean_true, cov_true = prob.posterior_moments(y)
+    n, steps = 20_000, 24
+
+    def moment_err(xs):
+        xs = np.asarray(xs)
+        m = xs.mean(0)
+        c = np.cov(xs.T)
+        return (np.linalg.norm(m - np.asarray(mean_true))
+                + np.linalg.norm(c - np.asarray(cov_true)))
+
+    xs_heun = heun_ode(sde, drift, key, y, n, 2, steps)
+    xs_em = euler_maruyama(sde, drift, key, y, n, 2, steps)
+    assert xs_heun.shape == (n, 2)
+    err_h, err_e = moment_err(xs_heun), moment_err(xs_em)
+    assert err_h < err_e, (err_h, err_e)
+    assert err_h < 0.05, err_h  # near-exact transport at only 24 steps
+
+    # determinism given the key (integration is noise-free)
+    again = heun_ode(sde, drift, key, y, n, 2, steps)
+    np.testing.assert_allclose(np.asarray(xs_heun), np.asarray(again))
+
+
+def test_heun_method_plumbed_through_model_sample(key):
+    """CDE.sample(method='heun') drives the ODE path."""
+    from dmip_tpu.models import CDE
+
+    model = CDE(2, 2, (16, 16))
+    params = model.init(key)
+    xs = model.sample(params, key, jnp.asarray([0.1, 0.2]), 64, 12,
+                      method="heun")
+    assert xs.shape == (64, 2)
+    assert np.all(np.isfinite(np.asarray(xs)))
