@@ -232,6 +232,20 @@ def grid_search(
             print(best[metric][1])
             print("-------------------", flush=True)
 
+    # One-file summary of the whole grid (one row per trial), written at the
+    # tree root so results survive as a single committable artifact even
+    # though the per-trial trees are large / gitignored.
+    if results:
+        os.makedirs(config["src_dir"], exist_ok=True)
+        fieldnames = list(results[0].keys())
+        with open(
+            os.path.join(config["src_dir"], "grid_summary.csv"), "w",
+            newline="",
+        ) as f:
+            w = csv.DictWriter(f, fieldnames=fieldnames)
+            w.writeheader()
+            w.writerows(results)
+
     return {
         "best_kl": best["kl"], "best_nlpd": best["nlpd"],
         "best_fisher": best["fisher"], "results": results,
