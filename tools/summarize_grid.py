@@ -1,0 +1,82 @@
+"""Post-hoc grid summary: walk a grid-search results tree and write one CSV
+row per trial (params + mean KL/NLPD/score-MSE).
+
+Complements the summary grid_search itself writes (dmip_tpu/gridsearch.py)
+for runs that predate it or died mid-grid; the ``--out`` copy goes to a
+committed location so grid results survive the gitignored results trees
+(BENCHMARKS.md quotes it).
+
+Usage: PYTHONPATH=. python tools/summarize_grid.py \
+          --src_dir grid_search_results/scatterometry_full \
+          [--out benchmarks/grid_summary_scatterometry_full.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from dmip_tpu import gridsearch
+
+
+def collect(src_dir: str):
+    rows = []
+    for root, _dirs, files in os.walk(src_dir):
+        if "results.csv" not in files or os.path.basename(root) != "results":
+            continue
+        cols = gridsearch._read_results_csv(os.path.join(root, "results.csv"))
+        if "KL2" not in cols:
+            continue
+        tdir = os.path.dirname(root)
+        params = gridsearch.get_params_from_path(tdir)
+        nll_true_col = next(
+            (c for c in ("NLL_true", "NLL_mcmc") if c in cols), None
+        )
+        nlpd = (
+            float(np.mean(np.abs(cols["NLL_diffusion"] - cols[nll_true_col])))
+            if nll_true_col and "NLL_diffusion" in cols else float("nan")
+        )
+        rows.append({
+            **params,
+            "kl": float(np.mean(cols["KL2"])),
+            "kl_reverse": float(np.mean(cols["KL_reverse"]))
+            if "KL_reverse" in cols else float("nan"),
+            "nlpd": nlpd,
+            "fisher": float(np.mean(cols["MSE"]))
+            if "MSE" in cols else float("nan"),
+        })
+    rows.sort(key=lambda r: r["kl"])
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--src_dir", default="grid_search_results/scatterometry_full")
+    p.add_argument("--out", default=None,
+                   help="extra (committable) copy of the summary CSV")
+    args = p.parse_args()
+
+    rows = collect(args.src_dir)
+    if not rows:
+        sys.exit(f"no results under {args.src_dir}")
+    fieldnames = sorted({k for r in rows for k in r})
+    for path in filter(None, (os.path.join(args.src_dir, "grid_summary.csv"),
+                              args.out)):
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fieldnames)
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {len(rows)} trials -> {path}")
+    print("top 5 by KL:")
+    for r in rows[:5]:
+        print(f"  kl={r['kl']:.3f} nlpd={r['nlpd']:.3f} {r}")
+
+
+if __name__ == "__main__":
+    main()
