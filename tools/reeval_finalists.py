@@ -51,6 +51,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--src_dir", default="grid_search_results/scatterometry_full")
     p.add_argument("--top", type=int, default=3)
+    p.add_argument("--ranks", default=None,
+                   help="comma-separated rank indices into the selection-KL "
+                        "ordering (overrides --top; lets the finalist set "
+                        "stay diverse when the top ranks are near-duplicate "
+                        "hyper-parameter neighbours)")
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
     p.add_argument("--hidden", default="512,512,512")
     p.add_argument("--n_samples_y", type=int, default=100)
@@ -63,8 +68,12 @@ def main():
     args = p.parse_args()
 
     trials = collect_trials(args.src_dir)
-    print(f"{len(trials)} trials found; top {args.top} by selection KL:")
-    for kl, tdir, params in trials[: args.top]:
+    if args.ranks:
+        picked = [trials[int(r)] for r in args.ranks.split(",")]
+    else:
+        picked = trials[: args.top]
+    print(f"{len(trials)} trials found; {len(picked)} finalists by selection KL:")
+    for kl, tdir, params in picked:
         print(f"  sel-KL={kl:.4f}  {params}  ({tdir})")
 
     forward_model, fparams = scat.load_forward_model()
@@ -83,7 +92,7 @@ def main():
     hidden = [int(v) for v in args.hidden.split(",")]
 
     k_train = _k_train  # the grid's own training-key schedule
-    for sel_kl, tdir, trial_params in trials[: args.top]:
+    for sel_kl, tdir, trial_params in picked:
         factory_cfg = {
             "model": "CDE", "hidden_layers": hidden, **trial_params,
             "loss_fn": trial_params.get("loss_fn", "PINNLoss")
