@@ -45,9 +45,10 @@ TRAIN_BATCHES = 90
 TRAIN_BATCH = 1000
 
 
-def bench_train() -> None:
-    """PINN-loss training throughput, reference workload shapes
-    (main_diffusion_linear.py: 512x3 CDE, batch 1000, 90 batches/epoch)."""
+def _measure_train(loss_name: str, extra_cfg: dict) -> float:
+    """Epochs/s for one (loss) training variant on the reference workload
+    shapes (main_diffusion_linear.py: 512x3 CDE, batch 1000, 90
+    batches/epoch)."""
     import optax
 
     from dmip_tpu import data, train
@@ -59,8 +60,8 @@ def bench_train() -> None:
         key, prob.xdim, prob.forward, TRAIN_BATCHES * TRAIN_BATCH
     )
     model, cfg = get_model_from_args(
-        {"model": "CDE", "loss_fn": "PINNLoss", "lam": 0.1, "lam2": 1.0,
-         "hidden_layers": [512, 512, 512]},
+        {"model": "CDE", "loss_fn": loss_name,
+         "hidden_layers": [512, 512, 512], **extra_cfg},
         {"xdim": 2, "ydim": 2},
     )
     loss_fn = model.make_loss_fn(cfg, initial_condition=prob.score_posterior)
@@ -85,30 +86,38 @@ def bench_train() -> None:
             params, opt_state, key, (c + 1) * epc
         )
     jax.block_until_ready(losses)
-    elapsed = time.time() - t0
-    value = TRAIN_EPOCHS / elapsed
+    return TRAIN_EPOCHS / (time.time() - t0)
+
+
+def bench_train() -> None:
+    """DSM + PINN training throughput vs the measured torch baselines
+    (benchmarks/torch_train_baseline.json)."""
+    pinn = _measure_train("PINNLoss", {"lam": 0.1, "lam2": 1.0})
+    dsm = _measure_train("DSM", {})
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "torch_train_baseline.json",
     )
-    vs_baseline = None
+    vs_pinn = vs_dsm = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
-        vs_baseline = value / baseline["pinn_epochs_per_sec"]
+        vs_pinn = pinn / baseline["pinn_epochs_per_sec"]
+        vs_dsm = dsm / baseline["dsm_epochs_per_sec"]
 
     print(
         json.dumps(
             {
                 "metric": "pinn_train_epochs_per_sec",
-                "value": value,
+                "value": pinn,
                 "unit": "epochs/s",
-                "vs_baseline": vs_baseline,
+                "vs_baseline": vs_pinn,
+                "dsm_train_epochs_per_sec": dsm,
+                "dsm_vs_baseline": vs_dsm,
                 "device": str(jax.devices()[0]),
                 "workload": f"{TRAIN_EPOCHS} epochs x {TRAIN_BATCHES} "
                             f"batches x {TRAIN_BATCH}",
-                "elapsed_s": elapsed,
             }
         )
     )
