@@ -112,19 +112,22 @@ def make_eval_y_linear(
     num_steps: int = 200,
     nbins: int = 75,
     xlim: Tuple[float, float] = (-3.5, 3.5),
+    method: str = "auto",
 ):
     """Jitted per-y evaluation for the linear problem (analytic oracle).
 
     Returns eval_y(params, key, y) -> dict of per-y statistics; histograms
     summed over repeats, NLL / MSE averaged (reference
-    main_diffusion_linear.py:65-131).
+    main_diffusion_linear.py:65-131).  ``method`` selects the sampler
+    (model.sample: 'auto'/'pallas'/'xla'/'heun').
     """
     lo, hi = xlim
     base = model.sde.base
 
     def one_repeat(params, key, y):
         k1, k2, k3 = jax.random.split(key, 3)
-        x_pred = model.sample(params, k1, y, n_samples_x, num_steps)
+        x_pred = model.sample(params, k1, y, n_samples_x, num_steps,
+                              method=method)
         x_true = problem.sample_posterior(k2, y, n_samples_x)
         w2 = sliced_w2(k3, x_pred, x_true)
 
@@ -177,6 +180,7 @@ def make_eval_y_scatterometry(
     num_steps: int = 200,
     nbins: int = 75,
     xlim: Tuple[float, float] = (-1.2, 1.2),
+    method: str = "auto",
 ):
     """Jitted per-(y, repeat) evaluation against precomputed MCMC GT samples.
 
@@ -202,7 +206,8 @@ def make_eval_y_scatterometry(
                 x, forward_model, a, b, tiled(x.shape[0]), lambd_bd
             )
 
-        x_pred = model.sample(params, key, y, n_samples_x, num_steps)
+        x_pred = model.sample(params, key, y, n_samples_x, num_steps,
+                              method=method)
 
         t0 = jnp.zeros((x_true.shape[0], 1))
         g0 = base.g(t0)
@@ -237,6 +242,7 @@ def make_eval_many_linear(
     xlim: Tuple[float, float] = (-3.5, 3.5),
     mesh=None,
     axis_name: str = "data",
+    method: str = "auto",
 ):
     """Condition-sharded evaluation: vmap the per-y kernel over a chunk of
     ys, optionally sharding the chunk over a device mesh.
@@ -249,7 +255,8 @@ def make_eval_many_linear(
     len(ys); chunk length must divide the mesh size when sharded.
     """
     eval_y = make_eval_y_linear(
-        model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim
+        model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim,
+        method=method,
     )
 
     def batched(params, keys, ys):
@@ -287,6 +294,7 @@ def make_eval_many_scatterometry(
     xlim: Tuple[float, float] = (-1.2, 1.2),
     mesh=None,
     axis_name: str = "data",
+    method: str = "auto",
 ):
     """Condition-sharded scatterometry evaluation: vmap the per-(y, repeat)
     kernel over a chunk of conditions, sharding the chunk over a mesh.
@@ -301,7 +309,7 @@ def make_eval_many_scatterometry(
     """
     eval_yr = make_eval_y_scatterometry(
         model, forward_model, fparams, score_posterior_fn,
-        n_samples_x, num_steps, nbins, xlim,
+        n_samples_x, num_steps, nbins, xlim, method=method,
     )
 
     def batched(params, keys, ys, x_trues):
@@ -371,6 +379,7 @@ def evaluate_linear(
     xlim: Tuple[float, float] = (-3.5, 3.5),
     verbose: bool = True,
     mesh="auto",
+    method: str = "auto",
 ) -> Tuple[float, float, float]:
     """Full linear evaluation; returns (mean KL, mean NLPD, mean score-MSE).
 
@@ -399,10 +408,10 @@ def evaluate_linear(
         chunk = use_mesh.size
         eval_many = _cached(
             ("lin_many", model, id(problem), n_samples_x, n_repeats,
-             num_steps, nbins, xlim, use_mesh),
+             num_steps, nbins, xlim, use_mesh, method),
             lambda: make_eval_many_linear(
                 model, problem, n_samples_x, n_repeats, num_steps, nbins,
-                xlim, mesh=use_mesh,
+                xlim, mesh=use_mesh, method=method,
             ),
         )
         data_sh = batch_sharding(use_mesh)
@@ -426,9 +435,10 @@ def evaluate_linear(
                 w2_vals.append(float(out["w2"][j]))
     eval_y = _cached(
         ("lin_y", model, id(problem), n_samples_x, n_repeats, num_steps,
-         nbins, xlim),
+         nbins, xlim, method),
         lambda: make_eval_y_linear(
-            model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim
+            model, problem, n_samples_x, n_repeats, num_steps, nbins, xlim,
+            method=method,
         ),
     )
     for i in range(n_y):
@@ -489,6 +499,7 @@ def evaluate_scatterometry(
     xlim: Tuple[float, float] = (-1.2, 1.2),
     verbose: bool = True,
     mesh="auto",
+    method: str = "auto",
 ) -> Tuple[float, float, float]:
     """Scatterometry evaluation against MCMC ground truth.
 
@@ -514,10 +525,10 @@ def evaluate_scatterometry(
     fp_key = tuple(sorted(fparams.items()))
     eval_yr = _cached(
         ("scat_y", model, id(forward_model), id(score_posterior_fn), fp_key,
-         n_samples_x, num_steps, nbins, xlim),
+         n_samples_x, num_steps, nbins, xlim, method),
         lambda: make_eval_y_scatterometry(
             model, forward_model, fparams, score_posterior_fn,
-            n_samples_x, num_steps, nbins, xlim,
+            n_samples_x, num_steps, nbins, xlim, method=method,
         ),
     )
     kl_vals, kl_rev_vals, nll_true, nll_model, mse_vals = [], [], [], [], []
@@ -528,10 +539,11 @@ def evaluate_scatterometry(
         chunk = use_mesh.size
         eval_many = _cached(
             ("scat_many", model, id(forward_model), id(score_posterior_fn),
-             fp_key, n_samples_x, num_steps, nbins, xlim, use_mesh),
+             fp_key, n_samples_x, num_steps, nbins, xlim, use_mesh, method),
             lambda: make_eval_many_scatterometry(
                 model, forward_model, fparams, score_posterior_fn,
                 n_samples_x, num_steps, nbins, xlim, mesh=use_mesh,
+                method=method,
             ),
         )
         data_sh = batch_sharding(use_mesh)

@@ -172,6 +172,8 @@ class DiffusionModel:
             )
         if method == "auto":
             method = "pallas" if self._pallas_eligible(params, y) else "xla"
+        if method not in ("pallas", "xla"):
+            raise ValueError(f"unknown sampler method {method!r}")
         if method == "pallas":
             from ..ops.em_kernel import fused_em_sampler
 
@@ -236,6 +238,10 @@ class CDiffE(DiffusionModel):
                 if jax.default_backend() == "tpu" and isinstance(params, tuple)
                 else "xla"
             )
+        if method not in ("pallas", "xla"):
+            # no joint-diffusion Heun path: the per-step condition
+            # re-diffusion is SDE-specific (models/diffusion.py:158-180)
+            raise ValueError(f"CDiffE sampler method {method!r} unsupported")
         if method == "pallas":
             from ..ops.em_kernel import fused_em_sampler_cdiffe
 

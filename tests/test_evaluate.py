@@ -229,3 +229,43 @@ def test_evaluate_scatterometry_gt_size_differs_from_n_samples_x(key, tmp_path):
     )
     np.testing.assert_allclose(kl2, kl, rtol=1e-5)
     np.testing.assert_allclose(nlpd2, nlpd, rtol=1e-4)
+
+
+def test_evaluate_linear_heun_method_plumbed(key, tmp_path):
+    """evaluate_linear(method='heun') drives the probability-flow ODE
+    sampler through the whole harness and still nails the analytic
+    posterior with far fewer steps than E-M needs."""
+    prob = LinearForwardProblem()
+
+    class PerfectModel(CDE):
+        def init(self, key):
+            return ()
+
+        def apply_a(self, params, z, cond, t):
+            tt = jnp.asarray(t)
+            t0 = tt.reshape(-1)[0] if tt.ndim > 0 else tt
+            y = cond[0]
+            score = prob.diffused_posterior_score(self.sde.base, z, y, t0)
+            return self.sde.base.g(t0) * score
+
+    model = PerfectModel(xdim=2, ydim=2)
+    ys = prob.forward(jax.random.normal(key, (2, 2)))
+    kl, nlpd, mse = evaluate_linear(
+        model, (), prob, ys, key, n_samples_x=10_000, n_repeats=2,
+        num_steps=40, verbose=False, mesh=None, method="heun",
+    )
+    assert np.isfinite(kl) and kl < 0.2, kl
+    assert np.isfinite(nlpd)
+
+
+def test_cdiffe_sample_rejects_heun(key):
+    from dmip_tpu.models import CDiffE
+
+    model = CDiffE(xdim=2, ydim=2, hidden_layers=[8])
+    params = model.init(key)
+    y = jnp.zeros((2,))
+    try:
+        model.sample(params, key, y, 16, 4, method="heun")
+    except ValueError:
+        return
+    raise AssertionError("CDiffE.sample(method='heun') should raise")

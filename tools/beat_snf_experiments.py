@@ -1,0 +1,130 @@
+"""Experiments probing the diffusion-vs-SNF scatterometry gap (round 2).
+
+Three measurements on the best grid finalist (PINNLoss/cScoreFPE/L2, ic L1,
+lam=0.01, lam2=0.01; full-protocol KL 0.740 vs SNF 0.582):
+
+1. ``--exp floor``  — re-score the 20k-epoch checkpoint with n_repeats=5
+   (150k model samples vs 150k GT samples), the sample count at which the
+   GT-vs-GT floor is directly measurable (two disjoint 150k halves of the
+   MCMC ground truth measure KL 1.19 +- 0.53 across the 100 conditions).
+   If the model's matched-count KL sits below that floor, the model is
+   statistically indistinguishable from true posterior samples under the
+   reference's own metric (main_diffusion_scatterometry.py:94-122).
+2. ``--exp steps``  — full protocol at num_steps=500 (reference uses 200).
+3. ``--exp long``   — retrain the same trial at 100k epochs (5x the
+   reference schedule) and run the full protocol.
+
+Usage: PYTHONPATH=.:/root/.axon_site python tools/beat_snf_experiments.py \
+          --exp floor,steps,long
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from dmip_tpu import checkpoints, data, evaluate, train
+from dmip_tpu.problems import scatterometry as scat
+
+TRIAL_DIR = os.path.join(
+    "grid_search_results", "scatterometry_full",
+    "cScoreFPE", "PINNLoss", "L2", "L1", "lam:0.01", "lam2:0.01",
+)
+TRIAL_CFG = {
+    "model": "CDE", "loss_fn": "PINNLoss", "pde_loss": "cScoreFPE",
+    "pde_metric": "L2", "ic_metric": "L1", "lam": 0.01, "lam2": 0.01,
+    "hidden_layers": [512, 512, 512],
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp", default="floor,steps,long")
+    p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    p.add_argument("--long_epochs", type=int, default=100_000)
+    args = p.parse_args()
+    exps = args.exp.split(",")
+
+    forward_model, fparams = scat.load_forward_model()
+    key = jax.random.PRNGKey(13)
+    k_data, k_init, k_train, k_eval = jax.random.split(key, 4)
+    _, y_test = data.generate_dataset_scatterometry(
+        k_data, forward_model, fparams["a"], fparams["b"], size=100
+    )
+    score_post = scat.score_posterior(
+        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
+    )
+    gt_loader = lambda i, j: np.load(
+        os.path.join(args.gt_dir, str(i), f"{j}.npy")
+    )
+    model, loss_cfg = train.get_model_from_args(TRIAL_CFG, fparams)
+    template = model.init(k_init)
+
+    def load_20k():
+        return checkpoints.load_checkpoint(
+            os.path.join(TRIAL_DIR, "checkpoint_full"), template, None
+        )["params"]
+
+    if "floor" in exps:
+        params = load_20k()
+        kl, nlpd, mse = evaluate.evaluate_scatterometry(
+            model, params, forward_model, fparams, score_post,
+            y_test, gt_loader, k_eval, n_samples_x=30000, n_repeats=5,
+            verbose=False,
+        )
+        print(f"EXP floor: n_repeats=5 (150k vs 150k) KL={kl:.4f} "
+              f"NLPD={nlpd:.4f} (GT-vs-GT floor at this count: 1.19 +- 0.53)",
+              flush=True)
+
+    if "steps" in exps:
+        params = load_20k()
+        kl, nlpd, mse = evaluate.evaluate_scatterometry(
+            model, params, forward_model, fparams, score_post,
+            y_test, gt_loader, k_eval, n_samples_x=30000, n_repeats=10,
+            num_steps=500, verbose=False,
+        )
+        print(f"EXP steps: num_steps=500 KL={kl:.4f} NLPD={nlpd:.4f}",
+              flush=True)
+
+    if "long" in exps:
+        import optax
+
+        loss_fn = model.make_loss_fn(
+            loss_cfg, initial_condition=score_post,
+            forward_model=forward_model, forward_params=fparams,
+        )
+        optimizer = optax.adam(1e-4)
+        epoch_fn = train.make_epoch_fn(
+            loss_fn, optimizer,
+            lambda k: data.scatterometry_epoch_batches(
+                k, forward_model, fparams["a"], fparams["b"],
+                fparams["lambd_bd"], 1000,
+            ),
+            epochs_per_call=500,
+        )
+        params, _, _ = train.fit(
+            epoch_fn, model.init(k_init), optimizer, k_train,
+            num_epochs=args.long_epochs, epochs_per_call=500,
+            log_every=5000, desc="long",
+        )
+        checkpoints.save_checkpoint(
+            os.path.join(TRIAL_DIR, "checkpoint_long"), params,
+            step=args.long_epochs, key=k_train,
+        )
+        kl, nlpd, mse = evaluate.evaluate_scatterometry(
+            model, params, forward_model, fparams, score_post,
+            y_test, gt_loader, k_eval, n_samples_x=30000, n_repeats=10,
+            verbose=False,
+        )
+        print(f"EXP long: {args.long_epochs} epochs KL={kl:.4f} "
+              f"NLPD={nlpd:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
