@@ -48,6 +48,11 @@ def main():
     p.add_argument("--exp", default="floor,steps,long")
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
     p.add_argument("--long_epochs", type=int, default=100_000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_schedule", choices=["const", "cosine"],
+                   default="const",
+                   help="cosine decays lr to lr/100 over the run")
+    p.add_argument("--ckpt_name", default="checkpoint_long")
     args = p.parse_args()
     exps = args.exp.split(",")
 
@@ -99,7 +104,14 @@ def main():
             loss_cfg, initial_condition=score_post,
             forward_model=forward_model, forward_params=fparams,
         )
-        optimizer = optax.adam(1e-4)
+        if args.lr_schedule == "cosine":
+            # 8 steps/epoch (scatterometry_epoch_batches yields 8 batches)
+            sched = optax.cosine_decay_schedule(
+                args.lr, decay_steps=args.long_epochs * 8, alpha=0.01
+            )
+            optimizer = optax.adam(sched)
+        else:
+            optimizer = optax.adam(args.lr)
         epoch_fn = train.make_epoch_fn(
             loss_fn, optimizer,
             lambda k: data.scatterometry_epoch_batches(
@@ -114,7 +126,7 @@ def main():
             log_every=5000, desc="long",
         )
         checkpoints.save_checkpoint(
-            os.path.join(TRIAL_DIR, "checkpoint_long"), params,
+            os.path.join(TRIAL_DIR, args.ckpt_name), params,
             step=args.long_epochs, key=k_train,
         )
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
