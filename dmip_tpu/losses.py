@@ -611,6 +611,67 @@ def likelihood_score_target(
     return jax.vmap(per_sample_target)(x_0, y, x_t, t_flat, std.reshape(batch))
 
 
+def pgdm_likelihood_score(
+    prior_apply: Callable[..., Array],
+    prior_params,
+    base_sde: VPSDE,
+    forward_fn: Callable[[Array], Array],
+    x_t: Array,
+    y: Array,
+    t: Array,
+    *,
+    a: float,
+    b: float,
+) -> Array:
+    """Variance-corrected DPS guidance grad_{x_t} log p(y | x_t) (ΠGDM).
+
+    Vanilla DPS (:func:`likelihood_score_target`) plugs the Tweedie point
+    estimate x_hat_0 into the sharp heteroscedastic likelihood; with
+    b=0.01 the resulting guidance reaches 1e3-1e4 and the reverse SDE is
+    stiff at any clip (measured: KL 4.8-8.0 on scatterometry).  Song et
+    al.'s ΠGDM instead marginalizes over p(x_0 | x_t) ~= N(x_hat_0, r_t^2 I)
+    with r_t^2 = sigma^2 / (alpha^2 + sigma^2), giving
+    p(y | x_t) ~= N(f(x_hat_0), D + r_t^2 J J^T) where D is the
+    heteroscedastic diagonal (a f)^2 + b^2 and J = df/dx_0 — the propagated
+    Tweedie variance inflates the likelihood covariance at large t, so the
+    guidance anneals automatically instead of needing a norm cap.
+
+    The covariance is treated as constant w.r.t. x_t (standard ΠGDM
+    practice); the gradient flows through the residual y - f(x_hat_0(x_t)),
+    including the prior net's Jacobian inside Tweedie.  xdim=3 makes J a
+    3-column jacfwd (3 JVPs) and the (ydim, ydim) Cholesky solve trivial.
+    No reference equivalent (the reference's DPS variant is rows
+    losses.py:293-386); TPU-native addition.
+    """
+    batch = x_t.shape[0]
+    t_flat = t.reshape(batch)
+    std = base_sde.std(t).reshape(batch)
+    alpha = base_sde.mean_weight(t).reshape(batch)
+    r2 = std**2 / (alpha**2 + std**2)
+
+    def per_sample(xt_i, y_i, t_i, sig_i, al_i, r2_i):
+        def x0_of(xt):
+            s = prior_apply(prior_params, xt[None], t_i)[0]
+            return (xt + sig_i**2 * s) / al_i
+
+        x0 = x0_of(xt_i)
+        f0 = forward_fn(x0)
+        jac = jax.jacfwd(forward_fn)(x0)  # (ydim, xdim)
+        diag = (a * f0) ** 2 + b**2
+        cov = jnp.diag(diag) + r2_i * (jac @ jac.T)
+        chol = jax.scipy.linalg.cho_factor(cov)
+
+        def ell(xt):
+            resid = y_i - forward_fn(x0_of(xt))
+            return -0.5 * jnp.dot(
+                resid, jax.scipy.linalg.cho_solve(chol, resid)
+            )
+
+        return jax.grad(ell)(xt_i)
+
+    return jax.vmap(per_sample)(x_t, y, t_flat, std, alpha, r2)
+
+
 def posterior_loss(
     prior_apply: Callable[..., Array],
     likelihood_apply: Callable[..., Array],

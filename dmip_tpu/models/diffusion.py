@@ -354,6 +354,11 @@ class AnalyticGuidanceDPS:
     # NLPD 1e8 unclipped); norm-capping is the standard DPS stabilization
     # (Chung et al. scale guidance by zeta/||y - f(x_hat_0)||).
     guidance_clip: Optional[float] = 100.0
+    # 'dps' = Tweedie point-estimate guidance (losses.likelihood_score_target,
+    # the reference's target); 'pgdm' = variance-corrected guidance
+    # (losses.pgdm_likelihood_score) that anneals itself via the propagated
+    # Tweedie covariance — measured far more stable on scatterometry.
+    guidance: str = "dps"
 
     @property
     def sde(self) -> ReverseSDE:
@@ -371,13 +376,20 @@ class AnalyticGuidanceDPS:
         base = self.sde.base
         fp = self.forward_params
         s_prior = nets.prior_mlp_apply(params["prior"], z, t)
-        target = L.likelihood_score_target(
-            lambda p, xx, tt: nets.prior_mlp_apply(p, xx, tt),
-            params["prior"], base, self.forward_model, z, cond, t,
-            a=fp["a"], b=fp["b"], s_prior=s_prior,
-        )
-        alpha = base.mean_weight(t)
-        s_lik = target / alpha
+        if self.guidance == "pgdm":
+            s_lik = L.pgdm_likelihood_score(
+                lambda p, xx, tt: nets.prior_mlp_apply(p, xx, tt),
+                params["prior"], base, self.forward_model, z, cond, t,
+                a=fp["a"], b=fp["b"],
+            )
+        else:
+            target = L.likelihood_score_target(
+                lambda p, xx, tt: nets.prior_mlp_apply(p, xx, tt),
+                params["prior"], base, self.forward_model, z, cond, t,
+                a=fp["a"], b=fp["b"], s_prior=s_prior,
+            )
+            alpha = base.mean_weight(t)
+            s_lik = target / alpha
         if self.guidance_clip is not None:
             norm = jnp.linalg.norm(s_lik, axis=-1, keepdims=True)
             s_lik = s_lik * jnp.minimum(1.0, self.guidance_clip / (norm + 1e-12))

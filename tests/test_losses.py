@@ -402,3 +402,43 @@ def test_fpe_parameter_gradient_parity_with_torch(setup, metric):
     for (jw, jb), (tw, tb) in zip(grads, torch_grads):
         np.testing.assert_allclose(jw, tw, rtol=5e-3, atol=3e-6)
         np.testing.assert_allclose(jb, tb, rtol=5e-3, atol=3e-6)
+
+
+def test_pgdm_likelihood_score_small_t_matches_fixed_cov_grad(key):
+    """At t->0 (alpha~1, sigma~0, r2~0) the ΠGDM guidance
+    (losses.pgdm_likelihood_score) reduces to the gradient of the
+    fixed-diagonal heteroscedastic log-likelihood at x_t itself."""
+    import jax.numpy as jnp
+    from dmip_tpu import losses as L
+    from dmip_tpu.sde import VPSDE
+
+    base = VPSDE()
+    a_p, b_p = 0.2, 0.1
+    k1, k2, k3 = jax.random.split(key, 3)
+    W = jax.random.normal(k1, (5, 3)) * 0.5
+
+    def forward_fn(x):
+        return jnp.tanh(W @ x) + 0.1 * (W @ x) ** 2
+
+    # "prior net" with bounded output so Tweedie stays tame
+    V = jax.random.normal(k2, (3, 3)) * 0.1
+    prior_apply = lambda params, x, t: jnp.tanh(x @ params.T)
+
+    x_t = jax.random.normal(k3, (4, 3)) * 0.5
+    y = forward_fn(x_t[0]) + 0.05
+    ys = jnp.tile(y, (4, 1))
+    t = jnp.full((4, 1), 1e-4)
+
+    got = L.pgdm_likelihood_score(
+        prior_apply, V, base, forward_fn, x_t, ys, t, a=a_p, b=b_p
+    )
+
+    def fixed_cov_loglik(x, y_i):
+        f0 = forward_fn(x)
+        diag = (a_p * jax.lax.stop_gradient(f0)) ** 2 + b_p**2
+        return -0.5 * jnp.sum((y_i - f0) ** 2 / diag)
+
+    want = jax.vmap(jax.grad(fixed_cov_loglik))(x_t, ys)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    assert np.all(np.isfinite(np.asarray(got)))
