@@ -37,6 +37,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--clips", default="1,3,10,30")
     p.add_argument("--guidance", choices=["dps", "pgdm"], default="dps")
+    p.add_argument("--num_steps", type=int, default=200,
+                   help="E-M steps (the sharp guided drift is stiff; more "
+                        "steps probe integration error vs approximation "
+                        "error)")
     p.add_argument("--train_dir", default="trained_models/scatterometry_dps")
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
     p.add_argument("--select_ys", type=int, default=20)
@@ -93,7 +97,8 @@ def main():
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
             ag, params, forward_model, fparams, score_post,
             y_test[: args.select_ys], gt_loader, k_eval,
-            n_samples_x=30000, n_repeats=args.select_repeats, verbose=False,
+            n_samples_x=30000, n_repeats=args.select_repeats,
+            num_steps=args.num_steps, verbose=False,
         )
         print(f"clip={clip}: sel-KL={kl:.4f} NLPD={nlpd:.4f}", flush=True)
         results.append((kl, clip))
@@ -110,6 +115,7 @@ def main():
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
             ag, params, forward_model, fparams, score_post,
             y_test, gt_loader, k_eval, n_samples_x=30000, n_repeats=10,
+            num_steps=args.num_steps,
             out_dir=f"results/scatterometry_dps_analytic_clip{best_clip}",
             verbose=False,
         )
