@@ -153,3 +153,34 @@ def test_analytic_guidance_dps_duck_types_and_clips(key):
     samples = ag.sample(params, key, y[0], 32, 10)
     assert samples.shape == (32, 3)
     assert np.all(np.isfinite(np.asarray(samples)))
+
+
+def test_analytic_guidance_dps_pgdm_mode(key):
+    """guidance='pgdm' routes through losses.pgdm_likelihood_score: finite,
+    clipped, and genuinely different from the vanilla DPS guidance."""
+    from dmip_tpu.models import AnalyticGuidanceDPS
+
+    fwd, p = scat.load_forward_model()
+    base = PosteriorDiffusionEstimator(xdim=3, ydim=23, hidden_layers=HID)
+    params = base.init(key)
+
+    kx, kd = jax.random.split(key)
+    x = scat.sample_prior(kx, 8, p["lambd_bd"])
+    y = scat.noisy_forward(kd, fwd, x, p["a"], p["b"])
+    t = jnp.full((8, 1), 0.5)
+
+    dps = AnalyticGuidanceDPS(base, fwd, p, guidance_clip=50.0)
+    pgdm = AnalyticGuidanceDPS(base, fwd, p, guidance_clip=50.0,
+                               guidance="pgdm")
+    out_d = np.asarray(dps.apply_a(params, x, y, t))
+    out_p = np.asarray(pgdm.apply_a(params, x, y, t))
+    assert np.all(np.isfinite(out_p))
+    assert not np.allclose(out_d, out_p)
+
+    # pgdm's variance inflation shrinks the guidance at large t
+    g = base.sde.base.g(t)
+    from dmip_tpu import nets
+    s_prior = nets.prior_mlp_apply(params["prior"], x, t)
+    lik_d = np.linalg.norm(np.asarray(out_d / g - s_prior), axis=-1)
+    lik_p = np.linalg.norm(np.asarray(out_p / g - s_prior), axis=-1)
+    assert lik_p.mean() <= lik_d.mean() + 1e-6
