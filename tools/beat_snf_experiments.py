@@ -53,6 +53,11 @@ def main():
                    default="const",
                    help="cosine decays lr to lr/100 over the run")
     p.add_argument("--ckpt_name", default="checkpoint_long")
+    p.add_argument("--hidden", default=None,
+                   help="override the trial's hidden layers, e.g. "
+                        "'1024,1024,1024' (reference parity is 512x3; wider "
+                        "nets probe whether capacity limits the boundary "
+                        "sharpness of the learned score)")
     args = p.parse_args()
     exps = args.exp.split(",")
 
@@ -68,7 +73,10 @@ def main():
     gt_loader = lambda i, j: np.load(
         os.path.join(args.gt_dir, str(i), f"{j}.npy")
     )
-    model, loss_cfg = train.get_model_from_args(TRIAL_CFG, fparams)
+    trial_cfg = dict(TRIAL_CFG)
+    if args.hidden:
+        trial_cfg["hidden_layers"] = [int(v) for v in args.hidden.split(",")]
+    model, loss_cfg = train.get_model_from_args(trial_cfg, fparams)
     template = model.init(k_init)
 
     def load_20k():
