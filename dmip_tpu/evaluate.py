@@ -206,8 +206,14 @@ def make_eval_y_scatterometry(
                 x, forward_model, a, b, tiled(x.shape[0]), lambd_bd
             )
 
-        x_pred = model.sample(params, key, y, n_samples_x, num_steps,
+        k_sample, k_w2 = jax.random.split(key)
+        x_pred = model.sample(params, k_sample, y, n_samples_x, num_steps,
                               method=method)
+        # sliced-W2 vs the GT samples (floor-free complement to the sparse
+        # 75^3-histogram KL; BASELINE.md's KL/W2 north star).  The 1-D
+        # quantile distance needs equal counts: truncate both to the min.
+        n_w2 = min(n_samples_x, int(x_true.shape[0]))
+        w2 = sliced_w2(k_w2, x_pred[:n_w2], x_true[:n_w2])
 
         t0 = jnp.zeros((x_true.shape[0], 1))
         g0 = base.g(t0)
@@ -224,7 +230,7 @@ def make_eval_y_scatterometry(
         nll_p = jnp.mean(energy(x_pred))
         return dict(
             hist_true=hist_t, hist_model=hist_p, nll_true=nll_t,
-            nll_model=nll_p, mse_score=mse, x_pred=x_pred,
+            nll_model=nll_p, mse_score=mse, w2=w2, x_pred=x_pred,
         )
 
     eval_y_repeat = jax.jit(eval_y_repeat_raw)
@@ -481,7 +487,7 @@ def evaluate_linear(
     return float(kl_arr.mean()), float(nlpd.mean()), float(np.mean(mse_vals))
 
 
-def evaluate_scatterometry(
+def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path walk
     model: DiffusionModel,
     params,
     forward_model,
@@ -532,6 +538,7 @@ def evaluate_scatterometry(
         ),
     )
     kl_vals, kl_rev_vals, nll_true, nll_model, mse_vals = [], [], [], [], []
+    w2_vals = []
 
     if use_mesh is not None:
         from .parallel.mesh import batch_sharding, replicate
@@ -558,6 +565,7 @@ def evaluate_scatterometry(
             nll_t = np.zeros(len(idx))
             nll_p = np.zeros(len(idx))
             mse = np.zeros(len(idx))
+            w2 = np.zeros(len(idx))
             for j in range(n_repeats):
                 x_true = np.stack(
                     [np.asarray(gt_loader(i, j), np.float32) for i in sel]
@@ -574,6 +582,7 @@ def evaluate_scatterometry(
                 nll_t += out["nll_true"][:n] / n_repeats
                 nll_p += out["nll_model"][:n] / n_repeats
                 mse += out["mse_score"][:n] / n_repeats
+                w2 += out["w2"][:n] / n_repeats
             for jj in range(len(idx)):
                 kl, kl_rev = kl_pair(
                     jnp.asarray(hist_t_sum[jj]), jnp.asarray(hist_p_sum[jj])
@@ -583,13 +592,14 @@ def evaluate_scatterometry(
                 nll_true.append(float(nll_t[jj]))
                 nll_model.append(float(nll_p[jj]))
                 mse_vals.append(float(mse[jj]))
+                w2_vals.append(float(w2[jj]))
 
     for i in range(n_y):
         if use_mesh is not None and not (out_dir is not None and i in plot_ys):
             continue
         hist_t_sum = jnp.zeros(nbins**3, jnp.float32)
         hist_p_sum = jnp.zeros(nbins**3, jnp.float32)
-        nll_t = nll_p = mse = 0.0
+        nll_t = nll_p = mse = w2 = 0.0
         last = None
         for j in range(n_repeats):
             if use_mesh is not None and j < n_repeats - 1:
@@ -601,6 +611,7 @@ def evaluate_scatterometry(
             nll_t += float(out["nll_true"]) / n_repeats
             nll_p += float(out["nll_model"]) / n_repeats
             mse += float(out["mse_score"]) / n_repeats
+            w2 += float(out["w2"]) / n_repeats
             last = (x_true, out["x_pred"])
         if use_mesh is None:
             kl, kl_rev = kl_pair(hist_t_sum, hist_p_sum)
@@ -609,6 +620,7 @@ def evaluate_scatterometry(
             nll_true.append(nll_t)
             nll_model.append(nll_p)
             mse_vals.append(mse)
+            w2_vals.append(w2)
         if out_dir is not None and i in plot_ys and last is not None:
             from .utils.plotting import plot_density
 
@@ -629,9 +641,11 @@ def evaluate_scatterometry(
                 "NLL_mcmc": nll_true,
                 "NLL_diffusion": nll_model,
                 "MSE": mse_vals,
+                "W2": w2_vals,
             },
         )
     if verbose:
         var = np.sum((kl_arr - kl_arr.mean()) ** 2) / len(kl_arr)
-        print(f"KL2: {kl_arr.mean()} +- {var}")
+        w2_note = f"  W2: {np.mean(w2_vals):.4f}" if w2_vals else ""
+        print(f"KL2: {kl_arr.mean()} +- {var}{w2_note}")
     return float(kl_arr.mean()), float(nlpd.mean()), float(np.mean(mse_vals))

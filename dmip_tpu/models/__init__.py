@@ -6,3 +6,4 @@ from .diffusion import (
     LossConfig,
     PosteriorDiffusionEstimator,
 )
+from .refined import EnergyRefinedModel

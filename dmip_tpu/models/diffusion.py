@@ -407,6 +407,15 @@ class AnalyticGuidanceDPS:
         dtype=jnp.float32,
         method: str = "xla",
     ) -> Array:
+        # Only the XLA E-M integrator exists for the guided drift (the fused
+        # Pallas kernel bakes in a plain-MLP drift; no Heun variant because
+        # the clipped guidance is not a smooth ODE field).  Reject anything
+        # else so an experiment labeled 'heun'/'pallas' cannot silently run
+        # E-M (advisor round-2 finding).
+        if method not in ("auto", "xla"):
+            raise ValueError(
+                f"AnalyticGuidanceDPS supports method 'auto'/'xla', got {method!r}"
+            )
         drift = lambda z, c, s: self.apply_a(params, z, c, s)
         return samplers.euler_maruyama(
             self.sde, drift, key, y, num_samples, self.xdim, num_steps,

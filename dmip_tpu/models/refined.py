@@ -1,0 +1,125 @@
+"""Energy-refined diffusion sampling: a learned conditional score proposes,
+exact-energy MCMC refines.
+
+Closes the information asymmetry between the diffusion family and the SNF
+baseline identified in round 2 (BENCHMARKS.md "Closing the diffusion-vs-SNF
+gap"): the reference's SNF (models/SNF.py:161-197) evaluates the EXACT
+posterior energy inside its stochastic layers at sampling time — its last
+block runs ``metr_steps_per_block`` Metropolis steps at lambda=1, i.e. on the
+true (unnormalized) posterior — while a plain CDE samples from the learned
+score alone.  :class:`EnergyRefinedModel` gives a diffusion model that same
+final-stage information: the reverse-SDE sampler proposes a posterior-shaped
+population, then a short exact-energy MH / MALA chain (the kernels of
+:mod:`dmip_tpu.mcmc`, the same ones inside the SNF layers) moves it onto the
+true energy landscape.
+
+Because the proposal is already near the posterior (the converged CDE
+measures within 0.05 histogram-KL of SNF), a handful of refinement steps
+suffices — unlike the ground-truth generator's 1000-step chains from the
+prior.  Everything stays one fused jit region per (condition, repeat): the
+Pallas E-M kernel hands its samples straight to a ``lax.scan`` MH chain whose
+energy closes over the frozen surrogate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import mcmc
+
+Array = jax.Array
+
+# energy_builder(y_tiled) -> EnergyFn mapping (n, xdim) -> (n,) NEGATIVE log
+# posterior — the reference's convention (utils_scatterometry.py:27-38).
+EnergyBuilder = Callable[[Array], Callable[[Array], Array]]
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class EnergyRefinedModel:
+    """A diffusion model whose sampler is refined by exact-energy MCMC.
+
+    Wraps any trained model exposing the ``DiffusionModel`` sampling surface
+    (``sample(params, key, y, ...)``) and appends ``refine_steps``
+    Metropolis-Hastings steps on the problem's exact negative-log-posterior —
+    random-walk proposals (``kernel='mh'``, the SNF layers' default,
+    models/SNF.py:250-275) or Langevin/MALA proposals (``kernel='mala'``,
+    models/SNF.py:183-197).  ``refine_steps=0`` degenerates to the base model.
+
+    Duck-types the evaluation surface (``sde`` / ``xdim`` / ``ydim`` /
+    ``apply_a`` / ``sample``); ``apply_a`` delegates to the base model, so
+    score-MSE metrics measure the underlying learned score.  ``eq=False``
+    keeps instances hashable by identity for the eval-kernel cache.
+    """
+
+    base_model: Any
+    # energy_fn(x, ys_tiled) -> (n,) negative log posterior (static closure
+    # over the frozen forward model; folds into the jitted sampler).
+    energy_fn: Callable[[Array, Array], Array]
+    refine_steps: int = 10
+    kernel: str = "mh"  # 'mh' | 'mala'
+    noise_std: float = 0.4  # random-walk proposal std (kernel='mh')
+    stepsize: float = 5e-3  # Langevin stepsize (kernel='mala')
+    lang_steps: int = 1  # Langevin sub-steps per MALA proposal
+
+    def __post_init__(self):
+        if self.kernel not in ("mh", "mala"):
+            raise ValueError(f"kernel must be 'mh' or 'mala', got {self.kernel!r}")
+
+    # -- DiffusionModel surface -------------------------------------------
+    @property
+    def sde(self):
+        return self.base_model.sde
+
+    @property
+    def xdim(self) -> int:
+        return self.base_model.xdim
+
+    @property
+    def ydim(self) -> int:
+        return self.base_model.ydim
+
+    def apply_a(self, params, z: Array, cond: Optional[Array], t: Array) -> Array:
+        return self.base_model.apply_a(params, z, cond, t)
+
+    def refine(self, key: Array, x: Array, y: Array) -> Array:
+        """Run the exact-energy refinement chain on a sample population."""
+        if self.refine_steps <= 0:
+            return x
+        ys_tiled = jnp.broadcast_to(y, (x.shape[0], y.shape[-1]))
+        energy = lambda z: self.energy_fn(z, ys_tiled)
+        if self.kernel == "mala":
+            x_out, _ = mcmc.anneal_to_energy(
+                key, x, energy, self.refine_steps,
+                langevin_prop=True, lang_steps=self.lang_steps,
+                stepsize=self.stepsize,
+            )
+        else:
+            x_out, _ = mcmc.anneal_to_energy(
+                key, x, energy, self.refine_steps, noise_std=self.noise_std
+            )
+        return x_out
+
+    def sample(
+        self,
+        params,
+        key: Array,
+        y: Array,
+        num_samples: int = 2000,
+        num_steps: int = 200,
+        mean: float = 0.0,
+        std: float = 1.0,
+        dtype=jnp.float32,
+        method: str = "auto",
+    ) -> Array:
+        """Reverse-SDE proposal (delegated, incl. the fused Pallas path) +
+        ``refine_steps`` exact-energy MCMC steps."""
+        k_prop, k_ref = jax.random.split(key)
+        x = self.base_model.sample(
+            params, k_prop, y, num_samples, num_steps,
+            mean=mean, std=std, dtype=dtype, method=method,
+        )
+        return self.refine(k_ref, x, y).astype(dtype)

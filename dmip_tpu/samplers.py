@@ -188,10 +188,17 @@ def heun_ode(
         t_col = jnp.full((num_samples, 1), t_scalar, dtype)
         return sde.mu(drift, t_col, x, cond, lmbd=1.0)
 
+    # The corrector time on the LAST step would be exactly t=T (reverse-SDE
+    # s=0) — outside the [t_epsilon, T] domain the score net trains on
+    # (sde.sample_t clips at t_epsilon) and the singular point of some
+    # analytic scores.  Clamp it one t_epsilon short (advisor round-2
+    # finding); E-M never queries below s=T/num_steps either.
+    t_corr_max = sde.T - sde.base.t_epsilon
+
     def step(x, t_i):
         d1 = mu(t_i, x)
         x_euler = x + delta * d1
-        d2 = mu(t_i + delta, x_euler)
+        d2 = mu(jnp.minimum(t_i + delta, t_corr_max), x_euler)
         x_next = x + 0.5 * delta * (d1 + d2)
         return x_next.astype(dtype), None
 

@@ -191,7 +191,7 @@ def test_evaluate_scatterometry_sharded_matches_sequential(key, tmp_path):
     assert rows_s[0] == rows_m[0]
     a = np.asarray([[float(v) for v in r[1:]] for r in rows_s[1:]])
     b = np.asarray([[float(v) for v in r[1:]] for r in rows_m[1:]])
-    assert a.shape == (5, 5)
+    assert a.shape == (5, 6)  # KL2, KL_reverse, NLL_mcmc, NLL_diffusion, MSE, W2
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 

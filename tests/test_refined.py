@@ -1,0 +1,102 @@
+"""EnergyRefinedModel: exact-energy refinement of a diffusion proposal."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmip_tpu.models import CDE, EnergyRefinedModel
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class _FakeBase:
+    """Stand-in 'diffusion model' drawing from a WRONG posterior N(0, 1.5^2);
+    records the sampler kwargs it received."""
+
+    xdim: int = 2
+    ydim: int = 3
+    sde: object = None
+
+    def sample(self, params, key, y, num_samples=2000, num_steps=200,
+               mean=0.0, std=1.0, dtype=jnp.float32, method="auto"):
+        return 1.5 * jax.random.normal(key, (num_samples, self.xdim), dtype)
+
+    def apply_a(self, params, z, cond, t):
+        return -z
+
+
+def _energy(x, ys_tiled):
+    # true posterior is N(0, I) regardless of y
+    return 0.5 * jnp.sum(x**2, axis=1)
+
+
+def test_refinement_corrects_proposal_scale(key):
+    """MH refinement at the exact energy pulls an over-dispersed proposal
+    onto the target: sample std moves from 1.5 toward 1.0."""
+    model = EnergyRefinedModel(
+        _FakeBase(), _energy, refine_steps=200, kernel="mh", noise_std=0.4
+    )
+    y = jnp.zeros(3)
+    x = jax.jit(
+        lambda k: model.sample(None, k, y, num_samples=8000)
+    )(key)
+    std = float(np.asarray(x).std())
+    assert abs(std - 1.0) < 0.08, std
+    x_raw = _FakeBase().sample(None, key, y, 8000)
+    assert abs(float(np.asarray(x_raw).std()) - 1.5) < 0.1
+
+
+def test_mala_kernel_also_corrects(key):
+    model = EnergyRefinedModel(
+        _FakeBase(), _energy, refine_steps=60, kernel="mala",
+        stepsize=0.05, lang_steps=1,
+    )
+    x = jax.jit(lambda k: model.sample(None, k, jnp.zeros(3), 8000))(key)
+    assert abs(float(np.asarray(x).std()) - 1.0) < 0.08
+
+
+def test_zero_steps_is_base_sampler(key):
+    model = EnergyRefinedModel(_FakeBase(), _energy, refine_steps=0)
+    k_prop, _ = jax.random.split(key)
+    x = model.sample(None, key, jnp.zeros(3), 500)
+    x_base = _FakeBase().sample(None, k_prop, jnp.zeros(3), 500)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x_base))
+
+
+def test_surface_delegation_and_validation(key):
+    base = CDE(xdim=2, ydim=3, hidden_layers=(16,))
+    params = base.init(key)
+    model = EnergyRefinedModel(base, _energy, refine_steps=2)
+    assert model.xdim == 2 and model.ydim == 3
+    assert model.sde is base.sde
+    z = jnp.ones((4, 2))
+    c = jnp.ones((4, 3))
+    t = jnp.zeros((4, 1))
+    np.testing.assert_array_equal(
+        np.asarray(model.apply_a(params, z, c, t)),
+        np.asarray(base.apply_a(params, z, c, t)),
+    )
+    with pytest.raises(ValueError):
+        EnergyRefinedModel(base, _energy, kernel="hmc")
+
+
+def test_refined_through_eval_harness(key, tmp_path):
+    """The eval kernel jits model.sample; the refined model must pass
+    through make_eval_y_scatterometry unchanged."""
+    from dmip_tpu import evaluate
+
+    base = CDE(xdim=3, ydim=4, hidden_layers=(16,))
+    params = base.init(key)
+    fwd = lambda x: jnp.tile(jnp.sum(x, -1, keepdims=True), (1, 4))
+    fparams = {"a": 0.2, "b": 0.01, "lambd_bd": 1000.0}
+    energy = lambda x, ys: 0.5 * jnp.sum(x**2, axis=1)
+    model = EnergyRefinedModel(base, energy, refine_steps=3, noise_std=0.2)
+    score_fn = lambda x, ys: -x
+    eval_yr = evaluate.make_eval_y_scatterometry(
+        model, fwd, fparams, score_fn, n_samples_x=64, num_steps=8, nbins=5,
+    )
+    out = eval_yr(params, key, jnp.zeros(4), jnp.zeros((64, 3)))
+    assert np.isfinite(float(out["nll_model"]))
+    assert out["x_pred"].shape == (64, 3)

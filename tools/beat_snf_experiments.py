@@ -60,6 +60,15 @@ def main():
                         "sharpness of the learned score)")
     args = p.parse_args()
     exps = args.exp.split(",")
+    if args.hidden and ({"floor", "steps"} & set(exps)):
+        # floor/steps load the committed 512x3 checkpoint; unflattening it
+        # into a wider template fails later with an opaque matmul error
+        # (advisor round-2 finding).
+        p.error("--hidden only applies to --exp long (floor/steps re-score "
+                "the 512x3 checkpoint)")
+    if args.hidden and args.ckpt_name == "checkpoint_long":
+        # keep differently-sized checkpoints from colliding in TRIAL_DIR
+        args.ckpt_name = f"checkpoint_long_h{args.hidden.replace(',', 'x')}"
 
     forward_model, fparams = scat.load_forward_model()
     key = jax.random.PRNGKey(13)
@@ -136,6 +145,8 @@ def main():
         checkpoints.save_checkpoint(
             os.path.join(TRIAL_DIR, args.ckpt_name), params,
             step=args.long_epochs, key=k_train,
+            extra={"hidden_layers": list(trial_cfg["hidden_layers"]),
+                   "lr_schedule": args.lr_schedule, "lr": args.lr},
         )
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
             model, params, forward_model, fparams, score_post,

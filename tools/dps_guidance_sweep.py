@@ -103,6 +103,12 @@ def main():
         print(f"clip={clip}: sel-KL={kl:.4f} NLPD={nlpd:.4f}", flush=True)
         results.append((kl, clip))
 
+    # NaN KLs (diverged clips — the very regime this sweep probes) compare
+    # False against everything and would otherwise sort first.
+    results = [r for r in results if np.isfinite(r[0])]
+    if not results:
+        print("all clips diverged (non-finite sel-KL); no best clip", flush=True)
+        return
     results.sort()
     best_clip = results[0][1]
     print(f"best clip: {best_clip} (sel-KL {results[0][0]:.4f})", flush=True)
