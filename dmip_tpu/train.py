@@ -13,9 +13,11 @@ with:
   * ``get_model_from_args`` — config-string -> (model, loss config) factory
                             (reference utils.py:22-48)
 
-Multi-chip: ``fit`` accepts an optional ``jax.sharding.Sharding`` for the
-batch; with a mesh the epoch data is laid out batch-sharded and XLA inserts
-the gradient psum automatically (data parallelism; see dmip_tpu.parallel).
+Multi-chip: ``make_epoch_fn(..., mesh=...)`` (an explicit Mesh or "auto")
+shards each on-device batch over the mesh's 'data' axis with parameters
+replicated; XLA inserts the gradient all-reduce automatically (data
+parallelism; see dmip_tpu.parallel).  ``fit`` is placement-agnostic — the
+jitted epoch fn carries the shardings.
 """
 
 from __future__ import annotations
@@ -87,12 +89,28 @@ def build_optimizer(lr: float, grad_clip: Optional[float] = None):
     return optax.adam(lr)
 
 
+def resolve_mesh(mesh):
+    """'auto' -> a 1-D data mesh over all visible devices when >1, an
+    explicit Mesh, or None (single-device)."""
+    if mesh == "auto":
+        if len(jax.devices()) > 1:
+            from .parallel.mesh import get_mesh
+
+            return get_mesh()
+        return None
+    if mesh is not None and getattr(mesh, "size", 1) <= 1:
+        return None
+    return mesh
+
+
 def make_epoch_fn(
     loss_fn,
     optimizer,
     batch_fn: Callable[..., Tuple[Array, Array]],
     epochs_per_call: int = 1,
     donate: bool = True,
+    mesh=None,
+    axis_name: str = "data",
 ):
     """Build a jitted multi-epoch step: each epoch generates its batches on
     device (fresh noise / fresh simulation) and ``lax.scan``s the train step
@@ -103,13 +121,31 @@ def make_epoch_fn(
     ``batch_fn(key) -> (xb, yb)`` with shapes (n_batches, batch, dim).
     Returns epoch(params, opt_state, key) -> (params, opt_state,
     per-epoch losses (epochs_per_call,), per-epoch info dict).
+
+    ``mesh``: None (single-device), an explicit ``jax.sharding.Mesh``, or
+    "auto" (all visible devices when >1).  With a mesh, each generated batch
+    is sharded over ``axis_name`` and parameters replicated — XLA inserts the
+    gradient all-reduce (data parallelism); the key schedule and update
+    dynamics are bit-compatible with the single-device path (verified by
+    tests/test_sharding.py).
     """
     train_step = make_train_step(loss_fn, optimizer)
+    use_mesh = resolve_mesh(mesh)
+    if use_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(use_mesh, P(None, axis_name))
+        repl = NamedSharding(use_mesh, P())
 
     def one_epoch(carry, ekey):
         params, opt_state = carry
         kdata, kscan = jax.random.split(ekey)
         xb, yb = batch_fn(kdata)
+        if use_mesh is not None:
+            # (n_batches, batch, dim): shard the within-batch axis so each
+            # device owns batch/n_devices examples of every step.
+            xb = jax.lax.with_sharding_constraint(xb, batch_sh)
+            yb = jax.lax.with_sharding_constraint(yb, batch_sh)
         n_batches = xb.shape[0]
         keys = jax.random.split(kscan, n_batches)
 
@@ -149,7 +185,18 @@ def make_epoch_fn(
         )
         return params, opt_state, losses, infos
 
-    return jax.jit(epochs, donate_argnums=(0, 1) if donate else ())
+    if use_mesh is not None:
+        # Params/opt_state replicated; jit moves them onto the mesh on the
+        # first call, so ``fit`` needs no special placement.
+        fn = jax.jit(
+            epochs,
+            in_shardings=(repl, repl, repl, repl, repl),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1) if donate else (),
+        )
+    else:
+        fn = jax.jit(epochs, donate_argnums=(0, 1) if donate else ())
+    return fn
 
 
 def fit(

@@ -65,6 +65,8 @@ def run(config: dict) -> tuple:
             k, x_train, y_train, prob.noise_std, int(config["batch_size"])
         ),
         epochs_per_call=epc,
+        # data-parallel over all visible devices (single-device: no-op)
+        mesh=config.get("mesh", "auto"),
     )
     with MetricsWriter(log_dir) as logger:
         params, opt_state, _ = train.fit(

@@ -68,6 +68,8 @@ def run(config: dict, gt_dir: str) -> tuple:
             int(config["batch_size"]),
         ),
         epochs_per_call=epc,
+        # data-parallel over all visible devices (single-device: no-op)
+        mesh=config.get("mesh", "auto"),
     )
     with MetricsWriter(log_dir) as logger:
         params, opt_state, _ = train.fit(
