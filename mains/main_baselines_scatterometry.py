@@ -24,12 +24,12 @@ import numpy as np
 import optax
 
 from dmip_tpu import checkpoints, data, flows, train
-from dmip_tpu.evaluate import histogramdd_flat, kl_pair
+from dmip_tpu.evaluate import histogramdd_flat, kl_pair, sliced_w2
 from dmip_tpu.problems import scatterometry as scat
 from dmip_tpu.utils import MetricsWriter, load_config, set_directories
 
 
-def run(config, gt_dir):
+def run(config, gt_dir, eval_only: bool = False):
     forward_model, fparams = scat.load_forward_model()
     a, b, lambd_bd = fparams["a"], fparams["b"], fparams["lambd_bd"]
     xdim, ydim = fparams["xdim"], fparams["ydim"]
@@ -64,8 +64,25 @@ def run(config, gt_dir):
     batch_fn = lambda k: data.scatterometry_epoch_batches(
         k, forward_model, a, b, lambd_bd, bs
     )
-    logger = MetricsWriter(log_dir)
     k_snf, k_dsm, k_inn = jax.random.split(k_train, 3)
+
+    if eval_only:
+        # Re-score existing checkpoints (e.g. after adding a metric) without
+        # paying the three training runs.
+        snf_params, d_params, inn_params = (
+            checkpoints.load_checkpoint(
+                os.path.join(config["train_dir"], name), m.init(k), None
+            )["params"]
+            for name, m, k in (
+                ("snf", snf, k_snf), ("diffusion", diffusion, k_dsm),
+                ("INN", inn, k_inn),
+            )
+        )
+        return _evaluate(config, gt_dir, forward_model, fparams, y_test,
+                         score_post, neg_log_post, snf, diffusion, inn,
+                         snf_params, d_params, inn_params, k_eval)
+
+    logger = MetricsWriter(log_dir)
 
     snf_params = snf.init(k_snf)
     opt = optax.adam(float(config["lr"]))
@@ -102,7 +119,15 @@ def run(config, gt_dir):
     for name, p in (("snf", snf_params), ("diffusion", d_params), ("INN", inn_params)):
         checkpoints.save_checkpoint(os.path.join(config["train_dir"], name), p)
 
-    # ----- evaluation ------------------------------------------------------
+    return _evaluate(config, gt_dir, forward_model, fparams, y_test,
+                     score_post, neg_log_post, snf, diffusion, inn,
+                     snf_params, d_params, inn_params, k_eval)
+
+
+def _evaluate(config, gt_dir, forward_model, fparams, y_test, score_post,
+              neg_log_post, snf, diffusion, inn, snf_params, d_params,
+              inn_params, k_eval):
+    xdim, ydim = fparams["xdim"], fparams["ydim"]
     n_x = int(config["n_samples_x"])
     n_repeats = int(config.get("n_repeats", 10))
     nbins, xlim = 75, (-1.2, 1.2)
@@ -110,7 +135,7 @@ def run(config, gt_dir):
 
     @jax.jit
     def eval_y_repeat(key, y, x_true):
-        k2, k3, k4 = jax.random.split(key, 3)
+        k2, k3, k4, kw = jax.random.split(key, 4)
         ys_t = jnp.broadcast_to(y, (n_x, ydim))
         energy = lambda x: neg_log_post(x, ys_t)
         x_diff = diffusion.sample(d_params, k2, y, n_x, 200)
@@ -125,7 +150,12 @@ def run(config, gt_dir):
             for s in (x_true, x_snf, x_diff, x_inn)
         ]
         nlls = [jnp.sum(energy(s)) / n_x for s in (x_true, x_snf, x_diff, x_inn)]
-        return hists, nlls, mse, (x_snf, x_diff, x_inn)
+        n_w2 = min(n_x, x_true.shape[0])
+        w2s = [
+            sliced_w2(kw, s[:n_w2], x_true[:n_w2])
+            for s in (x_snf, x_diff, x_inn)
+        ]
+        return hists, nlls, mse, w2s, (x_snf, x_diff, x_inn)
 
     rows = []
     out_dir = config["out_dir"]
@@ -133,6 +163,7 @@ def run(config, gt_dir):
     for i in range(y_test.shape[0]):
         hist_sums = [jnp.zeros(nbins**3, jnp.float32) for _ in range(4)]
         nll_sums = [0.0] * 4
+        w2_sums = [0.0] * 3
         mse_sum = 0.0
         last = None
         for j in range(n_repeats):
@@ -140,9 +171,10 @@ def run(config, gt_dir):
             x_true = jnp.asarray(
                 np.load(os.path.join(gt_dir, str(i), f"{j}.npy")), jnp.float32
             )
-            hists, nlls, mse, preds = eval_y_repeat(k, y_test[i], x_true)
+            hists, nlls, mse, w2s, preds = eval_y_repeat(k, y_test[i], x_true)
             hist_sums = [hs + h for hs, h in zip(hist_sums, hists)]
             nll_sums = [s + float(v) / n_repeats for s, v in zip(nll_sums, nlls)]
+            w2_sums = [s + float(v) / n_repeats for s, v in zip(w2_sums, w2s)]
             mse_sum += float(mse) / n_repeats
             last = (x_true, *preds)
         kls = [kl_pair(hist_sums[0], hist_sums[m]) for m in (1, 2, 3)]
@@ -154,6 +186,8 @@ def run(config, gt_dir):
             "NLL_mcmc": nll_sums[0], "NLL_snf": nll_sums[1],
             "NLL_diffusion": nll_sums[2], "NLL_inn": nll_sums[3],
             "MSE": mse_sum,
+            "W2_SNF": w2_sums[0], "W2_diffusion": w2_sums[1],
+            "W2_INN": w2_sums[2],
         })
         if i in config.get("plot_ys", ()):
             from dmip_tpu.utils.plotting import plot_density
@@ -177,7 +211,8 @@ def run(config, gt_dir):
         for i, r in enumerate(rows):
             w.writerow({"": i, **r})
     mean = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
-    for m in ("KL_SNF", "KL_diffusion", "KL_INN"):
+    for m in ("KL_SNF", "KL_diffusion", "KL_INN",
+              "W2_SNF", "W2_diffusion", "W2_INN"):
         print(f"{m}: {mean[m]}")
     return mean
 
@@ -186,5 +221,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/config_baselines_scatterometry.yml")
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    p.add_argument("--eval_only", action="store_true",
+                   help="re-score existing checkpoints in train_dir "
+                        "(skip the three training runs)")
     args = p.parse_args()
-    run(load_config(args.config), args.gt_dir)
+    run(load_config(args.config), args.gt_dir, eval_only=args.eval_only)

@@ -179,3 +179,39 @@ def test_gt_generator_devices_flag(tmp_path):
     b = np.load(os.path.join(gt_dir, "0", "1.npy"))
     assert a.shape == (512, 3) and b.shape == (512, 3)
     assert np.all(np.isfinite(a)) and not np.allclose(a, b)
+
+
+def test_main_baselines_scatterometry_e2e_and_eval_only(tmp_path):
+    """The three-baseline driver at toy scale, then the eval_only re-score
+    path from its saved checkpoints (W2 columns included)."""
+    import csv
+
+    import main_baselines_scatterometry as m
+
+    gt_dir = tmp_path / "gt"
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        os.makedirs(gt_dir / str(i))
+        for j in range(2):
+            np.save(gt_dir / str(i) / f"{j}.npy",
+                    rng.uniform(-1, 1, size=(300, 3)).astype(np.float32))
+    cfg = dict(
+        n_samples_y=2, n_samples_x=300, lr=1e-3, lr_INN=1e-3,
+        RANDOM_STATE=13, n_epochs_dsm=4, n_epochs_SNF=2, n_epochs_INN=2,
+        plot_ys=[], train_dir=str(tmp_path / "train"),
+        out_dir=str(tmp_path / "out"), model="CDE", num_layers_INN=2,
+        size_hidden_layers_INN=16, metr_steps_per_block=2, noise_std=0.4,
+        batch_size=100, hidden_layers=[16, 16], n_repeats=2,
+    )
+    mean = m.run(cfg, str(gt_dir))
+    for k in ("KL_SNF", "KL_diffusion", "KL_INN",
+              "W2_SNF", "W2_diffusion", "W2_INN"):
+        assert np.isfinite(mean[k]), k
+    with open(tmp_path / "out" / "results.csv") as f:
+        header = next(csv.reader(f))
+    assert "W2_SNF" in header and "W2_INN" in header
+
+    mean2 = m.run(cfg, str(gt_dir), eval_only=True)
+    # same checkpoints + same eval key schedule -> identical numbers
+    for k in mean:
+        np.testing.assert_allclose(mean2[k], mean[k], rtol=1e-5, err_msg=k)

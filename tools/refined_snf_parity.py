@@ -1,0 +1,244 @@
+"""Beat SNF at information parity: energy-refined CDE vs SNF, paired.
+
+Round-2 verdict #1: SNF's 0.043-KL edge over the converged CDE on
+scatterometry is an information asymmetry — SNF's stochastic layers evaluate
+the EXACT posterior energy at sampling time (reference models/SNF.py:250-275)
+while CDE samples from its learned score alone.  This tool levels the field
+with :class:`dmip_tpu.models.EnergyRefinedModel` (CDE proposal + exact-energy
+MH/MALA refinement) and measures the result under the reference's own full
+protocol, paired per-condition against the SNF baseline.
+
+Modes (composable):
+  --train           500k-epoch cosine retrain of the best grid trial
+                    (skipped when TRIAL_DIR/checkpoint_long exists)
+  --sweep           selection-protocol sweep over refinement configs
+  --full CFG        full protocol (100 ys x 10 repeats x 30k) for one config,
+                    e.g. --full mh,10,0.1 (kernel, steps, noise_std/stepsize);
+                    'none,0,0' evaluates the unrefined CDE
+  --paired          paired per-condition stats: refined / plain CDE vs SNF
+                    (reads results CSVs; run the baselines driver with
+                    --eval_only first for a fresh SNF row)
+
+Usage: python tools/refined_snf_parity.py --sweep
+       python tools/refined_snf_parity.py --full mh,10,0.1 --paired
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from dmip_tpu import checkpoints, data, evaluate, train
+from dmip_tpu.models import EnergyRefinedModel
+from dmip_tpu.problems import scatterometry as scat
+
+# The best full-grid finalist (BENCHMARKS.md round 2); the 500k-epoch cosine
+# retrain of this trial measured KL 0.624 / NLPD 1.17.
+TRIAL_DIR = os.path.join(
+    "grid_search_results", "scatterometry_full",
+    "cScoreFPE", "PINNLoss", "L2", "L1", "lam:0.01", "lam2:0.01",
+)
+TRIAL_CFG = {
+    "model": "CDE", "loss_fn": "PINNLoss", "pde_loss": "cScoreFPE",
+    "pde_metric": "L2", "ic_metric": "L1", "lam": 0.01, "lam2": 0.01,
+    "hidden_layers": [512, 512, 512],
+}
+BASELINES_CSV = os.path.join("results", "scatterometry", "baselines",
+                             "results.csv")
+
+
+def _setup():
+    forward_model, fparams = scat.load_forward_model()
+    key = jax.random.PRNGKey(13)
+    k_data, k_init, k_train, k_eval = jax.random.split(key, 4)
+    # identical y_test to the GT generator / baselines driver: split(key, n)[0]
+    # is n-invariant, so every driver with RANDOM_STATE 13 shares it.
+    _, y_test = data.generate_dataset_scatterometry(
+        k_data, forward_model, fparams["a"], fparams["b"], size=100
+    )
+    score_post = scat.score_posterior(
+        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
+    )
+    energy = lambda x, yt: scat.get_log_posterior(
+        x, forward_model, fparams["a"], fparams["b"], yt, fparams["lambd_bd"]
+    )
+    model, loss_cfg = train.get_model_from_args(TRIAL_CFG, fparams)
+    return (forward_model, fparams, y_test, score_post, energy, model,
+            loss_cfg, k_init, k_train, k_eval)
+
+
+def _gt_loader(gt_dir):
+    return lambda i, j: np.load(os.path.join(gt_dir, str(i), f"{j}.npy"))
+
+
+def train_long(args, model, loss_cfg, score_post, forward_model, fparams,
+               k_init, k_train):
+    import optax
+
+    ckpt = os.path.join(TRIAL_DIR, "checkpoint_long")
+    if os.path.exists(os.path.join(ckpt, "manifest.json")) and not args.force_train:
+        print(f"checkpoint_long exists; skipping retrain ({ckpt})", flush=True)
+        return
+    loss_fn = model.make_loss_fn(
+        loss_cfg, initial_condition=score_post,
+        forward_model=forward_model, forward_params=fparams,
+    )
+    sched = optax.cosine_decay_schedule(
+        1e-4, decay_steps=args.train_epochs * 8, alpha=0.01
+    )
+    optimizer = optax.adam(sched)
+    epoch_fn = train.make_epoch_fn(
+        loss_fn, optimizer,
+        lambda k: data.scatterometry_epoch_batches(
+            k, forward_model, fparams["a"], fparams["b"],
+            fparams["lambd_bd"], 1000,
+        ),
+        epochs_per_call=500,
+    )
+    params, _, _ = train.fit(
+        epoch_fn, model.init(k_init), optimizer, k_train,
+        num_epochs=args.train_epochs, epochs_per_call=500,
+        log_every=25000, desc="cde-500k",
+    )
+    checkpoints.save_checkpoint(
+        ckpt, params, step=args.train_epochs, key=k_train,
+        extra={"lr_schedule": "cosine", "lr": 1e-4,
+               "hidden_layers": TRIAL_CFG["hidden_layers"]},
+    )
+
+
+def load_params(model, k_init):
+    return checkpoints.load_checkpoint(
+        os.path.join(TRIAL_DIR, "checkpoint_long"), model.init(k_init), None
+    )["params"]
+
+
+def build(model, energy, cfg_str):
+    """'kernel,steps,param' -> model (refined or plain CDE)."""
+    kernel, steps, param = cfg_str.split(",")
+    steps = int(steps)
+    if kernel == "none" or steps == 0:
+        return model, "cde"
+    kw = ({"noise_std": float(param)} if kernel == "mh"
+          else {"stepsize": float(param)})
+    refined = EnergyRefinedModel(model, energy, refine_steps=steps,
+                                 kernel=kernel, **kw)
+    tag = f"{kernel}{steps}_{param}"
+    return refined, tag
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--force_train", action="store_true")
+    p.add_argument("--train_epochs", type=int, default=500_000)
+    p.add_argument("--sweep", action="store_true")
+    p.add_argument("--sweep_cfgs", default=(
+        "none,0,0 mh,5,0.1 mh,10,0.1 mh,20,0.1 mh,10,0.05 mh,10,0.2 "
+        "mh,10,0.4 mala,5,0.005 mala,10,0.005 mala,10,0.001"))
+    p.add_argument("--select_ys", type=int, default=20)
+    p.add_argument("--select_repeats", type=int, default=2)
+    p.add_argument("--full", default=None, help="kernel,steps,param")
+    p.add_argument("--paired", action="store_true")
+    p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    args = p.parse_args()
+
+    (forward_model, fparams, y_test, score_post, energy, model, loss_cfg,
+     k_init, k_train, k_eval) = _setup()
+    gt = _gt_loader(args.gt_dir)
+
+    if args.train:
+        train_long(args, model, loss_cfg, score_post, forward_model, fparams,
+                   k_init, k_train)
+
+    if args.sweep:
+        params = load_params(model, k_init)
+        for cfg_str in args.sweep_cfgs.split():
+            m, tag = build(model, energy, cfg_str)
+            kl, nlpd, _ = evaluate.evaluate_scatterometry(
+                m, params, forward_model, fparams, score_post,
+                y_test[: args.select_ys], gt, k_eval,
+                n_samples_x=30000, n_repeats=args.select_repeats,
+                verbose=False,
+            )
+            print(f"SWEEP {tag}: sel-KL={kl:.4f} sel-NLPD={nlpd:.4f}",
+                  flush=True)
+
+    if args.full:
+        params = load_params(model, k_init)
+        m, tag = build(model, energy, args.full)
+        out_dir = os.path.join("results", f"scatterometry_refined_{tag}")
+        kl, nlpd, mse = evaluate.evaluate_scatterometry(
+            m, params, forward_model, fparams, score_post,
+            y_test, gt, k_eval, n_samples_x=30000, n_repeats=10,
+            out_dir=out_dir, verbose=False,
+        )
+        print(f"FULL {tag}: KL={kl:.4f} NLPD={nlpd:.4f} MSE={mse:.4f} "
+              f"(results in {out_dir})", flush=True)
+
+    if args.paired:
+        tag = build(model, energy, args.full)[1] if args.full else None
+        paired_report(tag)
+
+
+def _read_csv(path):
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    return rows
+
+
+def paired_report(tag):
+    """Per-condition paired stats: refined (and plain CDE) vs SNF."""
+    from scipy import stats
+
+    base = _read_csv(BASELINES_CSV)
+    snf_kl = np.array([float(r["KL_SNF"]) for r in base])
+    snf_nlpd = np.abs(np.array([float(r["NLL_snf"]) for r in base])
+                      - np.array([float(r["NLL_mcmc"]) for r in base]))
+    snf_w2 = (np.array([float(r["W2_SNF"]) for r in base])
+              if "W2_SNF" in base[0] else None)
+
+    def report(name, path):
+        rows = _read_csv(path)
+        kl = np.array([float(r["KL2"]) for r in rows])
+        nlpd = np.abs(np.array([float(r["NLL_diffusion"]) for r in rows])
+                      - np.array([float(r["NLL_mcmc"]) for r in rows]))
+        w2 = (np.array([float(r["W2"]) for r in rows])
+              if "W2" in rows[0] else None)
+        d = kl - snf_kl
+        t, pt = stats.ttest_rel(kl, snf_kl)
+        try:
+            w, pw = stats.wilcoxon(kl, snf_kl)
+        except ValueError:
+            pw = float("nan")
+        print(f"[{name}] KL {kl.mean():.4f} vs SNF {snf_kl.mean():.4f} | "
+              f"paired diff {d.mean():+.4f} +- {d.std(ddof=1)/np.sqrt(len(d)):.4f} "
+              f"(t={t:.2f} p={pt:.2g}, wilcoxon p={pw:.2g}, corr "
+              f"{np.corrcoef(kl, snf_kl)[0,1]:.2f})", flush=True)
+        print(f"[{name}] NLPD {nlpd.mean():.4f} vs SNF {snf_nlpd.mean():.4f}",
+              flush=True)
+        if w2 is not None and snf_w2 is not None:
+            dw = w2 - snf_w2
+            tw, ptw = stats.ttest_rel(w2, snf_w2)
+            print(f"[{name}] W2 {w2.mean():.4f} vs SNF {snf_w2.mean():.4f} | "
+                  f"paired diff {dw.mean():+.4f} (t={tw:.2f} p={ptw:.2g})",
+                  flush=True)
+
+    if tag is not None:
+        report(f"refined:{tag}",
+               os.path.join("results", f"scatterometry_refined_{tag}",
+                            "results.csv"))
+    plain = os.path.join("results", "scatterometry_refined_cde", "results.csv")
+    if os.path.exists(plain):
+        report("cde-500k", plain)
+
+
+if __name__ == "__main__":
+    main()
