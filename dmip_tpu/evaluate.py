@@ -386,6 +386,7 @@ def evaluate_linear(
     verbose: bool = True,
     mesh="auto",
     method: str = "auto",
+    chunk: Optional[int] = None,
 ) -> Tuple[float, float, float]:
     """Full linear evaluation; returns (mean KL, mean NLPD, mean score-MSE).
 
@@ -397,6 +398,9 @@ def evaluate_linear(
     loop (main_diffusion_linear.py:65) is the multi-chip scale axis
     (SURVEY.md §5).  Pass an explicit Mesh or None (sequential).  The per-y
     key schedule is identical in both paths, so results match.
+
+    ``chunk``: on a SINGLE device, vmap ``chunk`` conditions into one
+    dispatch (tunnel-latency amortization for grid-scale evaluation).
     """
     n_y = ys.shape[0]
     # Per-y keys drawn in the sequential order regardless of path.
@@ -408,10 +412,10 @@ def evaluate_linear(
 
     use_mesh = _resolve_eval_mesh(mesh, n_y)
     kl_vals, nll_true, nll_model, mse_vals, w2_vals = [], [], [], [], []
-    if use_mesh is not None:
-        from .parallel.mesh import batch_sharding, replicate
-
-        chunk = use_mesh.size
+    chunk_n = use_mesh.size if use_mesh is not None else (
+        chunk if chunk and chunk > 1 and n_y > 1 else 0
+    )
+    if chunk_n:
         eval_many = _cached(
             ("lin_many", model, id(problem), n_samples_x, n_repeats,
              num_steps, nbins, xlim, use_mesh, method),
@@ -420,17 +424,23 @@ def evaluate_linear(
                 xlim, mesh=use_mesh, method=method,
             ),
         )
-        data_sh = batch_sharding(use_mesh)
-        repl = replicate(use_mesh)
-        params_r = jax.device_put(params, repl)
-        for c0 in range(0, n_y, chunk):
-            idx = list(range(c0, min(c0 + chunk, n_y)))
-            pad = chunk - len(idx)
+        if use_mesh is not None:
+            from .parallel.mesh import batch_sharding, replicate
+
+            data_sh = batch_sharding(use_mesh)
+            params_r = jax.device_put(params, replicate(use_mesh))
+            put = lambda arr: jax.device_put(arr, data_sh)
+        else:
+            params_r = params
+            put = lambda arr: arr
+        for c0 in range(0, n_y, chunk_n):
+            idx = list(range(c0, min(c0 + chunk_n, n_y)))
+            pad = chunk_n - len(idx)
             sel = idx + [idx[-1]] * pad  # pad by repeating; outputs discarded
             out = eval_many(
                 params_r,
-                jax.device_put(ykeys[jnp.asarray(sel)], data_sh),
-                jax.device_put(ys[jnp.asarray(sel)], data_sh),
+                put(ykeys[jnp.asarray(sel)]),
+                put(ys[jnp.asarray(sel)]),
             )
             out = jax.device_get(out)
             for j in range(len(idx)):
@@ -448,7 +458,7 @@ def evaluate_linear(
         ),
     )
     for i in range(n_y):
-        if use_mesh is None:
+        if not chunk_n:
             out = eval_y(params, ykeys[i], ys[i])
             kl_vals.append(float(out["kl"]))
             nll_true.append(float(out["nll_true"]))
@@ -460,7 +470,7 @@ def evaluate_linear(
         if out_dir is not None and i in plot_ys:
             from .utils.plotting import plot_density
 
-            if use_mesh is not None:
+            if chunk_n:
                 out = eval_y(params, ykeys[i], ys[i])  # same key: same samples
             for tag, arr in (("true", out["x_true_last"]), ("diffusion", out["x_pred_last"])):
                 plot_density(
@@ -506,6 +516,7 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
     verbose: bool = True,
     mesh="auto",
     method: str = "auto",
+    chunk: Optional[int] = None,
 ) -> Tuple[float, float, float]:
     """Scatterometry evaluation against MCMC ground truth.
 
@@ -518,6 +529,11 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
     visible devices via :func:`make_eval_many_scatterometry`; GT arrays are
     loaded host-side per chunk.  The per-(condition, repeat) key schedule is
     identical in both paths, so results match the sequential walk.
+
+    ``chunk``: on a SINGLE device (no mesh), vmap ``chunk`` conditions into
+    one dispatch — per-dispatch tunnel latency otherwise dominates grid-scale
+    evaluation (135 trials x 100 ys x repeats).  With a mesh the chunk is the
+    mesh size.
     """
     n_y = ys.shape[0]
     # (i, j) keys drawn in the sequential order regardless of path.
@@ -540,10 +556,10 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
     kl_vals, kl_rev_vals, nll_true, nll_model, mse_vals = [], [], [], [], []
     w2_vals = []
 
-    if use_mesh is not None:
-        from .parallel.mesh import batch_sharding, replicate
-
-        chunk = use_mesh.size
+    chunk_n = use_mesh.size if use_mesh is not None else (
+        chunk if chunk and chunk > 1 and n_y > 1 else 0
+    )
+    if chunk_n:
         eval_many = _cached(
             ("scat_many", model, id(forward_model), id(score_posterior_fn),
              fp_key, n_samples_x, num_steps, nbins, xlim, use_mesh, method),
@@ -553,12 +569,18 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
                 method=method,
             ),
         )
-        data_sh = batch_sharding(use_mesh)
-        repl = replicate(use_mesh)
-        params_r = jax.device_put(params, repl)
-        for c0 in range(0, n_y, chunk):
-            idx = list(range(c0, min(c0 + chunk, n_y)))
-            pad = chunk - len(idx)
+        if use_mesh is not None:
+            from .parallel.mesh import batch_sharding, replicate
+
+            data_sh = batch_sharding(use_mesh)
+            params_r = jax.device_put(params, replicate(use_mesh))
+            put = lambda arr: jax.device_put(arr, data_sh)
+        else:
+            params_r = params
+            put = lambda arr: arr
+        for c0 in range(0, n_y, chunk_n):
+            idx = list(range(c0, min(c0 + chunk_n, n_y)))
+            pad = chunk_n - len(idx)
             sel = idx + [idx[-1]] * pad  # pad by repeating; outputs discarded
             hist_t_sum = np.zeros((len(idx), nbins**3), np.float32)
             hist_p_sum = np.zeros((len(idx), nbins**3), np.float32)
@@ -572,9 +594,9 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
                 )
                 out = jax.device_get(eval_many(
                     params_r,
-                    jax.device_put(ykeys[jnp.asarray(sel), j], data_sh),
-                    jax.device_put(ys[jnp.asarray(sel)], data_sh),
-                    jax.device_put(jnp.asarray(x_true), data_sh),
+                    put(ykeys[jnp.asarray(sel), j]),
+                    put(ys[jnp.asarray(sel)]),
+                    put(jnp.asarray(x_true)),
                 ))
                 n = len(idx)
                 hist_t_sum += out["hist_true"][:n]
@@ -595,14 +617,14 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
                 w2_vals.append(float(w2[jj]))
 
     for i in range(n_y):
-        if use_mesh is not None and not (out_dir is not None and i in plot_ys):
+        if chunk_n and not (out_dir is not None and i in plot_ys):
             continue
         hist_t_sum = jnp.zeros(nbins**3, jnp.float32)
         hist_p_sum = jnp.zeros(nbins**3, jnp.float32)
         nll_t = nll_p = mse = w2 = 0.0
         last = None
         for j in range(n_repeats):
-            if use_mesh is not None and j < n_repeats - 1:
+            if chunk_n and j < n_repeats - 1:
                 continue  # plots only need the last repeat's samples
             x_true = jnp.asarray(gt_loader(i, j), jnp.float32)
             out = eval_yr(params, ykeys[i, j], ys[i], x_true)
@@ -613,7 +635,7 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
             mse += float(out["mse_score"]) / n_repeats
             w2 += float(out["w2"]) / n_repeats
             last = (x_true, out["x_pred"])
-        if use_mesh is None:
+        if not chunk_n:
             kl, kl_rev = kl_pair(hist_t_sum, hist_p_sum)
             kl_vals.append(float(kl))
             kl_rev_vals.append(float(kl_rev))

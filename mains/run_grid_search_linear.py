@@ -66,6 +66,7 @@ def main():
             n_samples_x=int(config["n_samples_x"]),
             n_repeats=int(config.get("eval_n_repeats", 10)),
             num_steps=int(config.get("eval_num_steps", 200)),
+            chunk=int(config.get("eval_chunk", 0)) or None,
         )
 
     trial_filter = None

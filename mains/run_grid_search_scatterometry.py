@@ -80,6 +80,9 @@ def main():
             # re-evaluate finalists with the full protocol)
             n_repeats=int(config.get("eval_n_repeats", 10)),
             num_steps=int(config.get("eval_num_steps", 200)),
+            # single-device dispatch amortization: vmap eval_chunk conditions
+            # into one call (equality-tested vs the sequential walk)
+            chunk=int(config.get("eval_chunk", 0)) or None,
         )
 
     trial_filter = None

@@ -269,3 +269,46 @@ def test_cdiffe_sample_rejects_heun(key):
     except ValueError:
         return
     raise AssertionError("CDiffE.sample(method='heun') should raise")
+
+
+def test_evaluate_linear_chunked_matches_sequential(key, tmp_path):
+    """Single-device condition-chunked evaluation (chunk=) must reproduce the
+    sequential walk exactly — same key schedule, one dispatch per chunk."""
+    prob = LinearForwardProblem()
+    model = CDE(2, 2, (16, 16))
+    params = model.init(key)
+    ys = prob.forward(jax.random.normal(key, (7, 2)))  # 7: pads last chunk
+
+    common = dict(
+        n_samples_x=256, n_repeats=2, num_steps=10, nbins=20, verbose=False,
+    )
+    kd = jax.random.fold_in(key, 3)
+    seq = evaluate_linear(model, params, prob, ys, kd, mesh=None, **common)
+    chk = evaluate_linear(model, params, prob, ys, kd, mesh=None, chunk=3,
+                          **common)
+    np.testing.assert_allclose(seq, chk, rtol=1e-4)
+
+
+def test_evaluate_scatterometry_chunked_matches_sequential(key, tmp_path):
+    from dmip_tpu.evaluate import evaluate_scatterometry
+
+    model = CDE(3, 4, (16, 16))
+    params = model.init(key)
+    fwd = lambda x: jnp.tanh(x @ jnp.ones((3, 4)) * 0.3)
+    fparams = {"a": 0.2, "b": 0.01, "lambd_bd": 1000.0}
+    score_post = lambda x, y: -x
+    ys = fwd(jax.random.normal(key, (5, 3)))
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(-1, 1, size=(5, 2, 256, 3)).astype(np.float32)
+
+    common = dict(
+        n_samples_x=256, n_repeats=2, num_steps=10, nbins=10, verbose=False,
+    )
+    kd = jax.random.fold_in(key, 9)
+    seq = evaluate_scatterometry(
+        model, params, fwd, fparams, score_post, ys,
+        lambda i, j: gt[i, j], kd, mesh=None, **common)
+    chk = evaluate_scatterometry(
+        model, params, fwd, fparams, score_post, ys,
+        lambda i, j: gt[i, j], kd, mesh=None, chunk=2, **common)
+    np.testing.assert_allclose(seq, chk, rtol=1e-4)

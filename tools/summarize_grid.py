@@ -25,7 +25,7 @@ import numpy as np
 from dmip_tpu import gridsearch
 
 
-def collect(src_dir: str):
+def collect(src_dir: str, protocol: str = ""):
     rows = []
     for root, _dirs, files in os.walk(src_dir):
         if "results.csv" not in files or os.path.basename(root) != "results":
@@ -35,6 +35,7 @@ def collect(src_dir: str):
             continue
         tdir = os.path.dirname(root)
         params = gridsearch.get_params_from_path(tdir)
+        n_conditions = len(cols["KL2"])
         nll_true_col = next(
             (c for c in ("NLL_true", "NLL_mcmc") if c in cols), None
         )
@@ -44,6 +45,12 @@ def collect(src_dir: str):
         )
         rows.append({
             **params,
+            # mark the evaluation protocol per row: absolute KLs from a
+            # reduced selection pass (few repeats -> sparse histograms) are
+            # NOT comparable with full-protocol numbers (round-2 verdict:
+            # sel-KLs run ~1.7-4x high)
+            "protocol": protocol,
+            "n_conditions": n_conditions,
             "kl": float(np.mean(cols["KL2"])),
             "kl_reverse": float(np.mean(cols["KL_reverse"]))
             if "KL_reverse" in cols else float("nan"),
@@ -60,9 +67,13 @@ def main():
     p.add_argument("--src_dir", default="grid_search_results/scatterometry_full")
     p.add_argument("--out", default=None,
                    help="extra (committable) copy of the summary CSV")
+    p.add_argument("--protocol", default="",
+                   help="evaluation-protocol tag recorded on every row, "
+                        "e.g. 'selection:4k-epochs,20ysx2rep' or "
+                        "'full:20k-epochs,100ysx10rep'")
     args = p.parse_args()
 
-    rows = collect(args.src_dir)
+    rows = collect(args.src_dir, args.protocol)
     if not rows:
         sys.exit(f"no results under {args.src_dir}")
     fieldnames = sorted({k for r in rows for k in r})
