@@ -265,15 +265,19 @@ def make_eval_many_linear(
         method=method,
     )
 
+    def one(params, k, y):
+        return {
+            kk: vv
+            for kk, vv in eval_y.raw(params, k, y).items()
+            if not kk.startswith("x_")
+        }
+
     def batched(params, keys, ys):
-        out = jax.vmap(
-            lambda k, y: {
-                kk: vv
-                for kk, vv in eval_y.raw(params, k, y).items()
-                if not kk.startswith("x_")
-            }
-        )(keys, ys)
-        return out
+        if mesh is None:
+            # lax.map (a scan), not vmap: one dispatch per chunk WITHOUT a
+            # batching transform — the fused Pallas sampler has no vmap rule.
+            return jax.lax.map(lambda kv: one(params, *kv), (keys, ys))
+        return jax.vmap(lambda k, y: one(params, k, y))(keys, ys)
 
     if mesh is None:
         return jax.jit(batched)
@@ -318,14 +322,22 @@ def make_eval_many_scatterometry(
         n_samples_x, num_steps, nbins, xlim, method=method,
     )
 
+    def one(params, k, y, xt):
+        return {
+            kk: vv
+            for kk, vv in eval_yr.raw(params, k, y, xt).items()
+            if kk != "x_pred"
+        }
+
     def batched(params, keys, ys, x_trues):
-        return jax.vmap(
-            lambda k, y, xt: {
-                kk: vv
-                for kk, vv in eval_yr.raw(params, k, y, xt).items()
-                if kk != "x_pred"
-            }
-        )(keys, ys, x_trues)
+        if mesh is None:
+            # lax.map, not vmap: the fused Pallas sampler has no vmap rule
+            return jax.lax.map(
+                lambda kvx: one(params, *kvx), (keys, ys, x_trues)
+            )
+        return jax.vmap(lambda k, y, xt: one(params, k, y, xt))(
+            keys, ys, x_trues
+        )
 
     if mesh is None:
         return jax.jit(batched)

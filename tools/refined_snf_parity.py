@@ -82,9 +82,9 @@ def train_long(args, model, loss_cfg, score_post, forward_model, fparams,
                k_init, k_train):
     import optax
 
-    ckpt = os.path.join(TRIAL_DIR, "checkpoint_long")
+    ckpt = os.path.join(TRIAL_DIR, "checkpoint_xlong")
     if os.path.exists(os.path.join(ckpt, "manifest.json")) and not args.force_train:
-        print(f"checkpoint_long exists; skipping retrain ({ckpt})", flush=True)
+        print(f"checkpoint_xlong exists; skipping retrain ({ckpt})", flush=True)
         return
     loss_fn = model.make_loss_fn(
         loss_cfg, initial_condition=score_post,
@@ -115,8 +115,9 @@ def train_long(args, model, loss_cfg, score_post, forward_model, fparams,
 
 
 def load_params(model, k_init):
+    # checkpoint_xlong: the 500k-epoch cosine retrain (KL 0.624, round 2)
     return checkpoints.load_checkpoint(
-        os.path.join(TRIAL_DIR, "checkpoint_long"), model.init(k_init), None
+        os.path.join(TRIAL_DIR, "checkpoint_xlong"), model.init(k_init), None
     )["params"]
 
 
