@@ -312,3 +312,23 @@ def test_evaluate_scatterometry_chunked_matches_sequential(key, tmp_path):
         model, params, fwd, fparams, score_post, ys,
         lambda i, j: gt[i, j], kd, mesh=None, chunk=2, **common)
     np.testing.assert_allclose(seq, chk, rtol=1e-4)
+
+
+def test_gt_floor_scatterometry(key):
+    """GT-vs-GT floor: two halves of the SAME sample set must floor near 0;
+    disjoint finite halves of a distribution give a positive, finite floor."""
+    from dmip_tpu.evaluate import gt_floor_scatterometry
+
+    rng = np.random.default_rng(1)
+    gt = rng.uniform(-1, 1, size=(2, 4, 500, 3)).astype(np.float32)
+    out = gt_floor_scatterometry(lambda i, j: gt[i, j], n_conditions=2,
+                                 n_repeats=4, nbins=10)
+    assert out["kl"].shape == (2,)
+    assert np.all(out["kl"] > 0) and np.all(np.isfinite(out["kl"]))
+    assert np.all(out["w2"] >= 0)
+
+    # identical halves -> zero floor
+    same = np.stack([gt[:, 0], gt[:, 1], gt[:, 0], gt[:, 1]], axis=1)
+    out0 = gt_floor_scatterometry(lambda i, j: same[i, j], n_conditions=2,
+                                  n_repeats=4, nbins=10)
+    np.testing.assert_allclose(out0["kl"], 0.0, atol=1e-5)
