@@ -57,6 +57,10 @@ def collect(src_dir: str, protocol: str = ""):
             "nlpd": nlpd,
             "fisher": float(np.mean(cols["MSE"]))
             if "MSE" in cols else float("nan"),
+            # sliced-W2 vs ground truth (column added round 3; older
+            # results.csv files predate it)
+            "w2": float(np.mean(cols["W2"]))
+            if "W2" in cols else float("nan"),
         })
     rows.sort(key=lambda r: r["kl"])
     return rows
