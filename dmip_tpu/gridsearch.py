@@ -174,12 +174,15 @@ def grid_search(
         model, loss_cfg = get_model_from_args(full_cfg, forward_model_params)
         tdir = trial_dir(config["src_dir"], full_cfg, loss_cfg.name)
         out_dir = os.path.join(tdir, "results")
-        log_dir = set_directories(tdir, out_dir)
         print("-----------------")
         print(trial_cfg, flush=True)
 
         existing = os.path.join(out_dir, "results.csv")
         if skip_existing and os.path.exists(existing):
+            # Directories must NOT be touched on this branch:
+            # set_directories WIPES out_dir, which would delete the very
+            # results being reused (and turn trial-level resume into a full
+            # re-evaluation of every completed trial).
             cols = _read_results_csv(existing)
             kl = float(np.mean(cols["KL2"]))
             nll_true_col = next(
@@ -194,6 +197,7 @@ def grid_search(
             fisher = float(np.mean(cols["MSE"])) if "MSE" in cols else np.inf
             print(f"(existing results reused: KL={kl:.4f})", flush=True)
         else:
+            log_dir = set_directories(tdir, out_dir)
             ckpt_dir = os.path.join(tdir, "checkpoint")
             if pos in trained:
                 params = trained[pos]

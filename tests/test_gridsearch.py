@@ -145,3 +145,59 @@ def test_reeval_finalists_collect_and_factory_mapping(tmp_path):
         assert loss_cfg.name in ("PINNLoss", "DSM_PDE")
         if "lam" in params:
             assert loss_cfg.lam == params["lam"]
+
+
+def test_skip_existing_reuses_results_without_wiping(tmp_path):
+    """Regression: set_directories wipes the trial's results dir, so it must
+    NOT run before the skip_existing reuse check — pre-fix, every resume
+    deleted results.csv first and re-evaluated every completed trial."""
+    config = {
+        "src_dir": str(tmp_path),
+        "model": "CDE",
+        "hidden_layers": [8],
+        "params": {
+            "loss_fn": ["DSM_PDE"],
+            "lam": [1.0, 0.1],
+            "lam2": [1.0],
+            "pde_loss": ["FPE"],
+            "pde_metric": ["L1"],
+            "model": ["CDE"],
+            "ic_metric": ["L1"],
+        },
+    }
+
+    # Pre-seed trial lam=1.0 with finished results.
+    from dmip_tpu.train import get_model_from_args
+
+    full_cfg = {**config, "loss_fn": "DSM_PDE", "lam": 1.0, "lam2": 1.0,
+                "pde_loss": "FPE", "pde_metric": "L1", "model": "CDE",
+                "ic_metric": "L1"}
+    _, loss_cfg = get_model_from_args(full_cfg, {"xdim": 2, "ydim": 2})
+    tdir = gridsearch.trial_dir(str(tmp_path), full_cfg, loss_cfg.name)
+    out_dir = os.path.join(tdir, "results")
+    os.makedirs(out_dir)
+    path = os.path.join(out_dir, "results.csv")
+    with open(path, "w") as f:
+        f.write(",KL2,NLL_true,NLL_diffusion,MSE\n0,0.5,1.0,1.25,0.02\n")
+    mtime = os.path.getmtime(path)
+
+    trained, evaluated = [], []
+
+    def fake_train(model, loss_cfg, cfg, tdir, log_dir):
+        trained.append(cfg["lam"])
+        return {"p": cfg["lam"]}
+
+    def fake_eval(model, params, y_test, out_dir):
+        evaluated.append(params["p"])
+        return params["p"], 2.0 * params["p"], 3.0 * params["p"]
+
+    out = gridsearch.grid_search(
+        None, config, {"xdim": 2, "ydim": 2}, fake_train, fake_eval, {}, {},
+        skip_existing=True,
+    )
+    # completed trial: untouched on disk, not retrained, not re-evaluated,
+    # but its metrics feed best-tracking
+    assert os.path.exists(path) and os.path.getmtime(path) == mtime
+    assert trained == [0.1] and evaluated == [0.1]
+    assert out["best_kl"][0] == 0.1  # fresh trial wins
+    assert out["best_nlpd"][0] == 0.2
