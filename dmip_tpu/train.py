@@ -80,13 +80,39 @@ def make_train_step(loss_fn, optimizer, skip_nonfinite: bool = True):
     return step
 
 
-def build_optimizer(lr: float, grad_clip: Optional[float] = None):
-    """Adam with optional global-norm gradient clipping (config 'grad_clip')."""
-    if grad_clip:
-        return optax.chain(
-            optax.clip_by_global_norm(float(grad_clip)), optax.adam(lr)
+def build_optimizer(
+    lr: float,
+    grad_clip: Optional[float] = None,
+    schedule: Optional[str] = None,
+    decay_steps: Optional[int] = None,
+    lr_min_ratio: float = 0.01,
+):
+    """Adam with optional global-norm gradient clipping (config 'grad_clip')
+    and optional learning-rate decay (config 'lr_schedule').
+
+    ``schedule='cosine'`` decays ``lr`` -> ``lr * lr_min_ratio`` over
+    ``decay_steps`` optimizer steps (the driver passes
+    n_epochs x batches-per-epoch).  This is the long-schedule recipe that
+    converges the scatterometry CDE to KL 0.624 (BENCHMARKS.md "Closing the
+    diffusion-vs-SNF gap"), now reachable from the config files.
+    """
+    if schedule in (None, "", "constant"):
+        tx = optax.adam(lr)
+    elif schedule == "cosine":
+        if not decay_steps:
+            raise ValueError("lr_schedule='cosine' requires decay_steps")
+        tx = optax.adam(
+            optax.cosine_decay_schedule(
+                float(lr), int(decay_steps), alpha=float(lr_min_ratio)
+            )
         )
-    return optax.adam(lr)
+    else:
+        raise ValueError(
+            f"unknown lr schedule {schedule!r}; options: 'constant', 'cosine'"
+        )
+    if grad_clip:
+        return optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+    return tx
 
 
 def resolve_mesh(mesh):

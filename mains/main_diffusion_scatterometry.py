@@ -47,7 +47,13 @@ def run(config: dict, gt_dir: str) -> tuple:
 
     resume = bool(config.get("resume_training", False))
     ckpt_dir = os.path.join(config["train_dir"], "checkpoint")
-    optimizer = train.build_optimizer(float(config.get("lr", 1e-4)), config.get("grad_clip"))
+    optimizer = train.build_optimizer(
+        float(config.get("lr", 1e-4)), config.get("grad_clip"),
+        schedule=config.get("lr_schedule"),
+        # scatterometry_epoch_batches yields 8 optimizer steps per epoch
+        decay_steps=int(config["n_epochs"]) * 8,
+        lr_min_ratio=float(config.get("lr_min_ratio", 0.01)),
+    )
     opt_state, start_epoch = None, 0
     if resume and os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
         restored = checkpoints.load_checkpoint(
@@ -91,6 +97,44 @@ def run(config: dict, gt_dir: str) -> tuple:
         n_samples_x=int(config["n_samples_x"]),
         n_repeats=int(config.get("n_repeats", 10)),
     )
+
+    refine_cfg = config.get("refine")
+    if refine_cfg:
+        # Energy-refined sampling (models/refined.py): the trained reverse-SDE
+        # sampler proposes, a short exact-energy MCMC chain on the surrogate
+        # posterior refines — the same sampling-time information the
+        # reference's SNF consumes in its stochastic layers (models/SNF.py:
+        # 250-275).  The round-3 flagship recipe
+        # (configs/config_scatterometry_refined.yml) ties SNF on histogram KL
+        # and wins NLPD and sliced-W2 (BENCHMARKS.md).
+        from dmip_tpu.models import EnergyRefinedModel
+
+        energy = lambda x, yt: scat.get_log_posterior(
+            x, forward_model, fparams["a"], fparams["b"], yt,
+            fparams["lambd_bd"],
+        )
+        refined = EnergyRefinedModel(
+            model, energy,
+            refine_steps=int(refine_cfg.get("steps", 5)),
+            kernel=str(refine_cfg.get("kernel", "mh")),
+            noise_std=float(refine_cfg.get("noise_std", 0.4)),
+            stepsize=float(refine_cfg.get("stepsize", 5e-3)),
+            lang_steps=int(refine_cfg.get("lang_steps", 1)),
+        )
+        r_out = config["out_dir"] + "_refined"
+        os.makedirs(r_out, exist_ok=True)
+        r_metrics = evaluate.evaluate_scatterometry(
+            refined, params, forward_model, fparams, score_post,
+            y_test, gt_loader, k_eval,
+            out_dir=r_out, plot_ys=(),
+            n_samples_x=int(config["n_samples_x"]),
+            n_repeats=int(config.get("n_repeats", 10)),
+        )
+        print(
+            f"energy-refined ({refined.kernel}{refined.refine_steps}): "
+            f"KL={r_metrics[0]:.4f} NLPD={r_metrics[1]:.4f} "
+            f"score-MSE={r_metrics[2]:.4f}"
+        )
 
     if config.get("eval_analytic_guidance") and config.get("model") == "Posterior":
         # Re-evaluate the same trained prior net under ANALYTIC likelihood

@@ -70,6 +70,51 @@ def test_main_diffusion_scatterometry_e2e(tmp_path):
     assert os.path.exists(tmp_path / "out" / "results.csv")
 
 
+def test_main_diffusion_scatterometry_refined_cosine(tmp_path):
+    """The flagship recipe's config surface (config_scatterometry_refined.yml
+    at toy scale): cosine lr schedule + energy-refined evaluation through the
+    driver, writing a second results.csv into out_dir + '_refined'."""
+    import generate_scatterometry_ground_truth as gt
+    import main_diffusion_scatterometry as m
+
+    gt_cfg = dict(
+        RANDOM_STATE=13, n_samples_y=2, n_samples_x=500, METR_STEPS=50,
+        NOISE_STD_MCMC=0.5, n_repeats=2, plot_ys=[],
+    )
+    gt_dir = str(tmp_path / "gt")
+    gt.run(gt_cfg, gt_dir, plot=False)
+
+    cfg = dict(
+        RANDOM_STATE=13, n_epochs=6, n_samples_y=2, n_samples_x=500,
+        batch_size=100, resume_training=False, model="CDE", loss_fn="DSM",
+        lam=0.01, lam2=0.001, pde_loss="FPE", pde_metric="L1", ic_metric="L2",
+        train_dir=str(tmp_path / "train"), out_dir=str(tmp_path / "out"),
+        lr=1e-3, lr_schedule="cosine", lr_min_ratio=0.01,
+        hidden_layers=[32, 32], plot_ys=[], epochs_per_call=3, n_repeats=2,
+        refine={"kernel": "mh", "steps": 3, "noise_std": 0.1},
+    )
+    params, (kl, nlpd, mse) = m.run(cfg, gt_dir)
+    assert np.isfinite(kl) and np.isfinite(nlpd) and np.isfinite(mse)
+    assert os.path.exists(tmp_path / "out" / "results.csv")
+    assert os.path.exists(tmp_path / "out_refined" / "results.csv")
+    import csv
+
+    with open(tmp_path / "out_refined" / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert rows and np.isfinite(float(rows[0]["KL2"]))
+
+
+def test_build_optimizer_schedules():
+    from dmip_tpu import train
+
+    train.build_optimizer(1e-4, schedule="cosine", decay_steps=100)
+    train.build_optimizer(1e-4, None, "constant")
+    with pytest.raises(ValueError):
+        train.build_optimizer(1e-4, schedule="cosine")  # no decay_steps
+    with pytest.raises(ValueError):
+        train.build_optimizer(1e-4, schedule="warmup_exp")
+
+
 def test_run_grid_search_linear_tiny(tmp_path, monkeypatch):
     """Grid search driver end-to-end over 2 trials."""
     import jax
