@@ -47,6 +47,12 @@ def main():
     p.add_argument("--select_repeats", type=int, default=2)
     p.add_argument("--full", action="store_true",
                    help="also run the full protocol on the best clip")
+    p.add_argument("--full_repeats", type=int, default=10,
+                   help="repeats for the --full run (100 ys x N x 30k; the "
+                        "reference protocol is 10 — lower values trade "
+                        "histogram sharpness for wall clock on the slow "
+                        "guided XLA sampling path and are tagged in the "
+                        "output)")
     args = p.parse_args()
 
     forward_model, fparams = scat.load_forward_model()
@@ -120,13 +126,14 @@ def main():
         )
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
             ag, params, forward_model, fparams, score_post,
-            y_test, gt_loader, k_eval, n_samples_x=30000, n_repeats=10,
+            y_test, gt_loader, k_eval, n_samples_x=30000,
+            n_repeats=args.full_repeats,
             num_steps=args.num_steps,
             out_dir=f"results/scatterometry_dps_analytic_clip{best_clip}",
             verbose=False,
         )
         print(f"FULL analytic-guidance DPS ({args.guidance}, "
-              f"clip={best_clip}): KL={kl:.4f} "
+              f"clip={best_clip}, 100ysx{args.full_repeats}rep): KL={kl:.4f} "
               f"NLPD={nlpd:.4f} MSE={mse:.4f}", flush=True)
 
 
