@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import csv
 import os
+import time
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -583,8 +584,14 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
     mesh="auto",
     method: str = "auto",
     chunk: Optional[int] = None,
+    progress_every: int = 0,
 ) -> Tuple[float, float, float]:
     """Scatterometry evaluation against MCMC ground truth.
+
+    ``progress_every=N`` prints a flushed heartbeat every N conditions with
+    the running rate — long protocols on slow sampling paths (the guided
+    DPS/ΠGDM drift has no fused kernel) are otherwise silent for an hour+
+    on the tunnel and indistinguishable from a hung remote compile.
 
     ``gt_loader(i, j)`` returns the (n_samples_x, 3) GT array for condition i,
     repeat j (reference datasets.get_gt_samples_scatterometry).  Returns
@@ -621,6 +628,16 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
     )
     kl_vals, kl_rev_vals, nll_true, nll_model, mse_vals = [], [], [], [], []
     w2_vals = []
+    t_start = time.time()
+
+    def _progress(done: int) -> None:
+        if progress_every and (done % progress_every == 0 or done == n_y):
+            rate = done / max(time.time() - t_start, 1e-9)
+            print(
+                f"[eval-scat] {done}/{n_y} conditions "
+                f"({rate:.2f} cond/s, {n_repeats} repeats)",
+                flush=True,
+            )
 
     chunk_n = use_mesh.size if use_mesh is not None else (
         chunk if chunk and chunk > 1 and n_y > 1 else 0
@@ -681,6 +698,7 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
                 nll_model.append(float(nll_p[jj]))
                 mse_vals.append(float(mse[jj]))
                 w2_vals.append(float(w2[jj]))
+            _progress(min(c0 + chunk_n, n_y))
 
     for i in range(n_y):
         if chunk_n and not (out_dir is not None and i in plot_ys):
@@ -709,6 +727,7 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
             nll_model.append(nll_p)
             mse_vals.append(mse)
             w2_vals.append(w2)
+            _progress(i + 1)
         if out_dir is not None and i in plot_ys and last is not None:
             from .utils.plotting import plot_density
 

@@ -104,7 +104,7 @@ def main():
             ag, params, forward_model, fparams, score_post,
             y_test[: args.select_ys], gt_loader, k_eval,
             n_samples_x=30000, n_repeats=args.select_repeats,
-            num_steps=args.num_steps, verbose=False,
+            num_steps=args.num_steps, verbose=False, progress_every=5,
         )
         print(f"clip={clip}: sel-KL={kl:.4f} NLPD={nlpd:.4f}", flush=True)
         results.append((kl, clip))
@@ -130,7 +130,7 @@ def main():
             n_repeats=args.full_repeats,
             num_steps=args.num_steps,
             out_dir=f"results/scatterometry_dps_analytic_clip{best_clip}",
-            verbose=False,
+            verbose=False, progress_every=5,
         )
         print(f"FULL analytic-guidance DPS ({args.guidance}, "
               f"clip={best_clip}, 100ysx{args.full_repeats}rep): KL={kl:.4f} "
