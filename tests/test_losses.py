@@ -442,3 +442,58 @@ def test_pgdm_likelihood_score_small_t_matches_fixed_cov_grad(key):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
     assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_pgdm_woodbury_matches_dense_cholesky(key):
+    """pgdm_likelihood_score's Woodbury solve (losses.py: 3x3 inner system)
+    equals the dense (ydim, ydim) Cholesky formulation it replaced, at a
+    generic mid-trajectory t where r2 is O(1)."""
+    import jax.numpy as jnp
+    from dmip_tpu import losses as L
+    from dmip_tpu.sde import VPSDE
+
+    base = VPSDE()
+    a_p, b_p = 0.2, 0.01
+    k1, k2, k3 = jax.random.split(key, 3)
+    W = jax.random.normal(k1, (23, 3)) * 0.5
+
+    def forward_fn(x):
+        return jnp.tanh(W @ x) + 0.1 * (W @ x) ** 2
+
+    V = jax.random.normal(k2, (3, 3)) * 0.1
+    prior_apply = lambda params, x, t: jnp.tanh(x @ params.T)
+
+    x_t = jax.random.normal(k3, (6, 3)) * 0.8
+    ys = jnp.tile(forward_fn(x_t[0]) + 0.05, (6, 1))
+    t = jnp.full((6, 1), 0.7)
+
+    got = L.pgdm_likelihood_score(
+        prior_apply, V, base, forward_fn, x_t, ys, t, a=a_p, b=b_p
+    )
+
+    std = base.std(t).reshape(6)
+    alpha = base.mean_weight(t).reshape(6)
+    r2 = std**2 / (alpha**2 + std**2)
+
+    def per_sample_dense(xt_i, y_i, t_i, sig_i, al_i, r2_i):
+        def x0_of(xt):
+            s = prior_apply(V, xt[None], t_i)[0]
+            return (xt + sig_i**2 * s) / al_i
+
+        x0 = x0_of(xt_i)
+        f0 = forward_fn(x0)
+        jac = jax.jacfwd(forward_fn)(x0)
+        cov = jnp.diag((a_p * f0) ** 2 + b_p**2) + r2_i * (jac @ jac.T)
+        chol = jax.scipy.linalg.cho_factor(cov)
+
+        def ell(xt):
+            resid = y_i - forward_fn(x0_of(xt))
+            return -0.5 * jnp.dot(resid, jax.scipy.linalg.cho_solve(chol, resid))
+
+        return jax.grad(ell)(xt_i)
+
+    want = jax.vmap(per_sample_dense)(x_t, ys, t.reshape(6), std, alpha, r2)
+    # float32: with b=0.01 the inverse diagonal reaches 1e4, so the two
+    # algebraically identical solves differ at the conditioning level.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-3, atol=1e-2)
