@@ -359,6 +359,12 @@ class AnalyticGuidanceDPS:
     # (losses.pgdm_likelihood_score) that anneals itself via the propagated
     # Tweedie covariance — measured far more stable on scatterometry.
     guidance: str = "dps"
+    # Raw (W, b) pairs of the frozen surrogate (problems/scatterometry.
+    # load_surrogate_weights).  When set and guidance='dps', sampling on TPU
+    # uses the fully-fused Pallas kernel (ops/dps_kernel.py) — weights, the
+    # three surrogate VJPs, and the three prior-net VHPs all stay in VMEM
+    # across every step.  None keeps the XLA autodiff path.
+    surrogate_weights: Optional[tuple] = None
 
     @property
     def sde(self) -> ReverseSDE:
@@ -407,14 +413,48 @@ class AnalyticGuidanceDPS:
         dtype=jnp.float32,
         method: str = "xla",
     ) -> Array:
-        # Only the XLA E-M integrator exists for the guided drift (the fused
-        # Pallas kernel bakes in a plain-MLP drift; no Heun variant because
-        # the clipped guidance is not a smooth ODE field).  Reject anything
-        # else so an experiment labeled 'heun'/'pallas' cannot silently run
-        # E-M (advisor round-2 finding).
-        if method not in ("auto", "xla"):
+        # 'pallas' = the fused guided kernel (ops/dps_kernel.py), available
+        # for the 'dps' guidance when surrogate weights were provided (the
+        # kernel hand-writes the surrogate VJPs / prior VHPs; 'pgdm' has no
+        # kernel).  No Heun variant because the clipped guidance is not a
+        # smooth ODE field.  Reject anything else so an experiment labeled
+        # 'heun' cannot silently run E-M (advisor round-2 finding).
+        eligible = (
+            jax.default_backend() == "tpu"
+            and self.guidance == "dps"
+            and self.surrogate_weights is not None
+            and isinstance(params.get("prior"), tuple)
+        )
+        if method == "auto":
+            method = "pallas" if eligible else "xla"
+        if method == "pallas":
+            if self.guidance != "dps" or self.surrogate_weights is None:
+                raise ValueError(
+                    "method 'pallas' needs guidance='dps' and "
+                    "surrogate_weights (the fused kernel bakes in the "
+                    "surrogate's VJPs)"
+                )
+            from ..ops.dps_kernel import fused_guided_em_sampler
+
+            k0, ks = jax.random.split(key)
+            x0 = (
+                jax.random.normal(k0, (num_samples, self.xdim), jnp.float32)
+                * std
+                + mean
+            )
+            seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max)
+            base = self.sde.base
+            fp = self.forward_params
+            return fused_guided_em_sampler(
+                params["prior"], self.surrogate_weights, x0, y,
+                a=fp["a"], b=fp["b"], guidance_clip=self.guidance_clip,
+                num_steps=num_steps, T=self.sde.T,
+                beta_min=base.beta_min, beta_max=base.beta_max, seed=seed,
+            ).astype(dtype)
+        if method != "xla":
             raise ValueError(
-                f"AnalyticGuidanceDPS supports method 'auto'/'xla', got {method!r}"
+                "AnalyticGuidanceDPS supports method 'auto'/'xla'/'pallas', "
+                f"got {method!r}"
             )
         drift = lambda z, c, s: self.apply_a(params, z, c, s)
         return samplers.euler_maruyama(

@@ -146,6 +146,7 @@ def run(config: dict, gt_dir: str) -> tuple:
         ag = AnalyticGuidanceDPS(
             model, forward_model, fparams,
             guidance_clip=float(config.get("guidance_clip", 100.0)),
+            surrogate_weights=scat.load_surrogate_weights(),
         )
         ag_out = config["out_dir"] + "_analytic"
         os.makedirs(ag_out, exist_ok=True)

@@ -184,3 +184,39 @@ def test_analytic_guidance_dps_pgdm_mode(key):
     lik_d = np.linalg.norm(np.asarray(out_d / g - s_prior), axis=-1)
     lik_p = np.linalg.norm(np.asarray(out_p / g - s_prior), axis=-1)
     assert lik_p.mean() <= lik_d.mean() + 1e-6
+
+
+def test_analytic_guidance_dps_pallas_method_validation(key):
+    """method='pallas' on AnalyticGuidanceDPS requires guidance='dps' AND
+    surrogate weights (the fused kernel, ops/dps_kernel.py, bakes in the
+    surrogate's VJPs); 'auto' off-TPU stays on the XLA path; unknown
+    methods still raise (advisor round-2 finding)."""
+    from dmip_tpu.models import AnalyticGuidanceDPS
+
+    fwd, p = scat.load_forward_model()
+    base = PosteriorDiffusionEstimator(xdim=3, ydim=23, hidden_layers=HID)
+    params = base.init(key)
+    kx, kd = jax.random.split(key)
+    x = scat.sample_prior(kx, 4, p["lambd_bd"])
+    y = scat.noisy_forward(kd, fwd, x, p["a"], p["b"])[0]
+
+    no_weights = AnalyticGuidanceDPS(base, fwd, p, guidance_clip=5.0)
+    with pytest.raises(ValueError, match="surrogate_weights"):
+        no_weights.sample(params, key, y, 8, 2, method="pallas")
+
+    pgdm = AnalyticGuidanceDPS(
+        base, fwd, p, guidance_clip=5.0, guidance="pgdm",
+        surrogate_weights=scat.load_surrogate_weights(),
+    )
+    with pytest.raises(ValueError, match="dps"):
+        pgdm.sample(params, key, y, 8, 2, method="pallas")
+    with pytest.raises(ValueError, match="heun"):
+        pgdm.sample(params, key, y, 8, 2, method="heun")
+
+    # 'auto' on CPU routes to XLA even with weights present
+    ag = AnalyticGuidanceDPS(
+        base, fwd, p, guidance_clip=5.0,
+        surrogate_weights=scat.load_surrogate_weights(),
+    )
+    out = ag.sample(params, key, y, 8, 2, method="auto")
+    assert out.shape == (8, 3)

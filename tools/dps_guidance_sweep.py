@@ -56,6 +56,7 @@ def main():
     args = p.parse_args()
 
     forward_model, fparams = scat.load_forward_model()
+    surr_weights = scat.load_surrogate_weights()
     key = jax.random.PRNGKey(13)
     k_data, k_init, _k_train, k_eval = jax.random.split(key, 4)
     _, y_test = data.generate_dataset_scatterometry(
@@ -98,7 +99,7 @@ def main():
     for clip in [float(v) for v in args.clips.split(",")]:
         ag = AnalyticGuidanceDPS(
             model, forward_model, fparams, guidance_clip=clip,
-            guidance=args.guidance,
+            guidance=args.guidance, surrogate_weights=surr_weights,
         )
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
             ag, params, forward_model, fparams, score_post,
@@ -122,7 +123,7 @@ def main():
     if args.full:
         ag = AnalyticGuidanceDPS(
             model, forward_model, fparams, guidance_clip=best_clip,
-            guidance=args.guidance,
+            guidance=args.guidance, surrogate_weights=surr_weights,
         )
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
             ag, params, forward_model, fparams, score_post,
