@@ -123,6 +123,59 @@ def bench_train() -> None:
     )
 
 
+def bench_dps() -> None:
+    """Analytic-guidance DPS sampling throughput: the fused guided kernel
+    (ops/dps_kernel.py — per step: prior fwd, 3 surrogate VJPs, 3 prior
+    VHPs, all in VMEM) vs the XLA autodiff scan it replaces.  Weights are
+    random at the flagship shapes (512x3 prior, the real frozen surrogate);
+    throughput is shape-dependent only."""
+    from dmip_tpu.models import AnalyticGuidanceDPS, PosteriorDiffusionEstimator
+    from dmip_tpu.problems import scatterometry as scat
+
+    fwd, fparams = scat.load_forward_model()
+    base = PosteriorDiffusionEstimator(xdim=3, ydim=23,
+                                       hidden_layers=(512, 512, 512))
+    key = jax.random.PRNGKey(0)
+    params = base.init(key)
+    y = scat.noisy_forward(
+        jax.random.PRNGKey(1), fwd,
+        scat.sample_prior(jax.random.PRNGKey(2), 1, fparams["lambd_bd"]),
+        fparams["a"], fparams["b"],
+    )[0]
+
+    def measure(method, surr):
+        ag = AnalyticGuidanceDPS(base, fwd, fparams, guidance_clip=10.0,
+                                 surrogate_weights=surr)
+        sampler = jax.jit(
+            lambda k: ag.sample(params, k, y, N_SAMPLES, N_STEPS,
+                                method=method)
+        )
+        jax.block_until_ready(sampler(key))
+        t0 = time.time()
+        for r in range(N_REPS):
+            out = sampler(jax.random.fold_in(key, r))
+        jax.block_until_ready(out)
+        return N_REPS * N_SAMPLES * N_STEPS / (time.time() - t0)
+
+    xla = measure("xla", None)
+    fused = None
+    if jax.default_backend() == "tpu":
+        fused = measure("pallas", scat.load_surrogate_weights())
+    print(
+        json.dumps(
+            {
+                "metric": "dps_guided_sample_steps_per_sec",
+                "value": fused if fused is not None else xla,
+                "unit": "sample_steps/s",
+                "vs_baseline": (fused / xla) if fused else None,
+                "xla_sample_steps_per_sec": xla,
+                "device": str(jax.devices()[0]),
+                "workload": f"{N_REPS} reps x {N_SAMPLES} x {N_STEPS} steps",
+            }
+        )
+    )
+
+
 def main() -> None:
     model, _ = get_model_from_args(
         {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [512, 512, 512]},
@@ -180,5 +233,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--train" in sys.argv[1:]:
         bench_train()
+    elif "--dps" in sys.argv[1:]:
+        bench_dps()
     else:
         main()
