@@ -413,26 +413,27 @@ class AnalyticGuidanceDPS:
         dtype=jnp.float32,
         method: str = "xla",
     ) -> Array:
-        # 'pallas' = the fused guided kernel (ops/dps_kernel.py), available
-        # for the 'dps' guidance when surrogate weights were provided (the
-        # kernel hand-writes the surrogate VJPs / prior VHPs; 'pgdm' has no
-        # kernel).  No Heun variant because the clipped guidance is not a
-        # smooth ODE field.  Reject anything else so an experiment labeled
-        # 'heun' cannot silently run E-M (advisor round-2 finding).
+        # 'pallas' = the fused guided kernels (ops/dps_kernel.py: the DPS
+        # VJP/VHP kernel, or the ΠGDM Woodbury kernel), available when
+        # surrogate weights were provided (the kernels bake in the
+        # surrogate's derivatives).  No Heun variant because the clipped
+        # guidance is not a smooth ODE field.  Reject anything else so an
+        # experiment labeled 'heun' cannot silently run E-M (advisor
+        # round-2 finding).
         eligible = (
             jax.default_backend() == "tpu"
-            and self.guidance == "dps"
+            and self.guidance in ("dps", "pgdm")
             and self.surrogate_weights is not None
             and isinstance(params.get("prior"), tuple)
         )
         if method == "auto":
             method = "pallas" if eligible else "xla"
         if method == "pallas":
-            if self.guidance != "dps" or self.surrogate_weights is None:
+            if self.guidance not in ("dps", "pgdm") or self.surrogate_weights is None:
                 raise ValueError(
-                    "method 'pallas' needs guidance='dps' and "
-                    "surrogate_weights (the fused kernel bakes in the "
-                    "surrogate's VJPs)"
+                    "method 'pallas' needs guidance='dps'/'pgdm' and "
+                    "surrogate_weights (the fused kernels bake in the "
+                    "surrogate's derivatives)"
                 )
             from ..ops.dps_kernel import fused_guided_em_sampler
 
@@ -450,6 +451,7 @@ class AnalyticGuidanceDPS:
                 a=fp["a"], b=fp["b"], guidance_clip=self.guidance_clip,
                 num_steps=num_steps, T=self.sde.T,
                 beta_min=base.beta_min, beta_max=base.beta_max, seed=seed,
+                guidance=self.guidance,
             ).astype(dtype)
         if method != "xla":
             raise ValueError(

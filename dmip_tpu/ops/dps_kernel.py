@@ -191,6 +191,171 @@ def _guided_em_kernel(
     out_ref[:] = jax.lax.fori_loop(0, num_steps, step, x0)
 
 
+def _pgdm_em_kernel(
+    seed_ref,
+    x0_ref,
+    y_ref,
+    *rest_refs,
+    n_prior: int,
+    n_surr: int,
+    num_steps: int,
+    T: float,
+    beta_min: float,
+    beta_max: float,
+    lmbd: float,
+    a_coef: float,
+    b_coef: float,
+    clip: Optional[float],
+    noise_scale: float,
+    compute_dtype,
+):
+    """ΠGDM variant (losses.pgdm_likelihood_score): per step,
+
+      * prior fwd  s = prior(x, s_time);  Tweedie  x0 = (x + std^2 s)/alpha
+      * surrogate fwd f = surr(x0) + its full Jacobian J (xdim forward
+        tangents, row-stacked through the relu chain)
+      * Woodbury solve  u = (D + r^2 J J^T)^{-1} (y - f)  with the 3x3
+        inner matrix inverted in closed form (adjugate) per sample
+      * q = J^T u, then one prior-net VJP for the Tweedie chain rule:
+        s_lik = (q + std^2 * (ds/dx)^T q) / alpha
+
+    Same ref layout as _guided_em_kernel.
+    """
+    out_ref = rest_refs[-1]
+    pw1x = rest_refs[0]
+    pw1t = rest_refs[1]
+    pb1 = rest_refs[2]
+    pw1xT = rest_refs[3]
+    prior_refs = rest_refs[4 : 4 + 3 * (n_prior - 1)]
+    surr_refs = rest_refs[4 + 3 * (n_prior - 1) : 4 + 3 * (n_prior - 1) + 3 * n_surr]
+
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    x0 = x0_ref[:]  # (B, xdim) f32
+    y = y_ref[:]  # (1, ydim) f32
+    B = x0.shape[0]
+    xdim = x0.shape[1]
+
+    delta = T / num_steps
+    sqrt_delta = delta**0.5
+    bd = beta_max - beta_min
+    a2 = a_coef * a_coef
+    b2 = b_coef * b_coef
+
+    def mm(lhs, w_ref):
+        return jax.lax.dot_general(
+            lhs.astype(compute_dtype), w_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def prior_fwd(x, s):
+        h = jnp.tanh(mm(x, pw1x) + s * pw1t[:] + pb1[:])
+        hs = [h]
+        for i in range(n_prior - 2):
+            h = jnp.tanh(mm(h, prior_refs[3 * i]) + prior_refs[3 * i + 1][:])
+            hs.append(h)
+        k = n_prior - 2
+        return mm(h, prior_refs[3 * k]) + prior_refs[3 * k + 1][:], hs
+
+    def prior_vjp1(u, hs):
+        e = u
+        for i in range(n_prior - 1, 0, -1):
+            wT = prior_refs[3 * (i - 1) + 2]
+            hk = hs[i - 1]
+            e = mm(e, wT) * (1.0 - hk * hk)
+        return mm(e, pw1xT)  # (B, xdim)
+
+    def surr_fwd_jac(x):
+        """Forward pass AND full Jacobian (xdim tangents, row-stacked)."""
+        g = x
+        u1 = surr_refs[0]
+        c1 = surr_refs[1]
+        g = jnp.maximum(mm(g, u1) + c1[:], 0.0)
+        m = (g > 0.0).astype(jnp.float32)
+        # T1[k*B + i] = U1[k, :] * m1[i, :]
+        u1_f32 = u1[:].astype(jnp.float32)
+        tang = jnp.concatenate(
+            [m * u1_f32[k : k + 1, :] for k in range(xdim)], axis=0
+        )
+        for i in range(1, n_surr - 1):
+            u_r = surr_refs[3 * i]
+            c_r = surr_refs[3 * i + 1]
+            g = jnp.maximum(mm(g, u_r) + c_r[:], 0.0)
+            m = (g > 0.0).astype(jnp.float32)
+            m3 = jnp.concatenate([m] * xdim, axis=0)
+            tang = mm(tang, u_r) * m3
+        k = n_surr - 1
+        f = mm(g, surr_refs[3 * k]) + surr_refs[3 * k + 1][:]
+        jac = mm(tang, surr_refs[3 * k])  # (xdim*B, ydim)
+        return f, jac
+
+    def step(i, x):
+        t = (i.astype(jnp.float32) / num_steps) * T
+        s = T - t
+        beta_s = beta_min + bd * s
+        g_s = jnp.sqrt(beta_s)
+        int_beta = 0.5 * bd * s * s + beta_min * s
+        alpha = jnp.exp(-0.5 * int_beta)
+        sig2 = 1.0 - jnp.exp(-int_beta)
+        r2 = sig2 / (alpha * alpha + sig2)
+
+        s_prior, hs = prior_fwd(x, s)
+        x_hat0 = (x + sig2 * s_prior) / alpha
+
+        f, jac = surr_fwd_jac(x_hat0)
+        dinv = 1.0 / ((a2 * f) * f + b2)  # (B, ydim)
+        resid = y - f
+        dr = dinv * resid
+
+        jrows = [jac[k * B : (k + 1) * B] for k in range(xdim)]  # (B, ydim) each
+        # w = J^T D^-1 r  and  M = I + r2 J^T D^-1 J  (per-sample 3x3)
+        w = [jnp.sum(jrows[k] * dr, axis=1, keepdims=True) for k in range(xdim)]
+        m = [
+            [
+                (1.0 if k == l else 0.0)
+                + r2 * jnp.sum(jrows[k] * dinv * jrows[l], axis=1, keepdims=True)
+                for l in range(xdim)
+            ]
+            for k in range(xdim)
+        ]
+        # closed-form 3x3 inverse (adjugate / det), symmetric M
+        c00 = m[1][1] * m[2][2] - m[1][2] * m[2][1]
+        c01 = m[0][2] * m[2][1] - m[0][1] * m[2][2]
+        c02 = m[0][1] * m[1][2] - m[0][2] * m[1][1]
+        c11 = m[0][0] * m[2][2] - m[0][2] * m[2][0]
+        c12 = m[0][2] * m[1][0] - m[0][0] * m[1][2]
+        c22 = m[0][0] * m[1][1] - m[0][1] * m[1][0]
+        det = m[0][0] * c00 + m[0][1] * (m[1][2] * m[2][0] - m[1][0] * m[2][2]) \
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        dinv3 = 1.0 / det
+        z0 = (c00 * w[0] + c01 * w[1] + c02 * w[2]) * dinv3
+        z1 = (c01 * w[0] + c11 * w[1] + c12 * w[2]) * dinv3
+        z2 = (c02 * w[0] + c12 * w[1] + c22 * w[2]) * dinv3
+        # u = D^-1 r - r2 D^-1 (J z)
+        jz = z0 * jrows[0] + z1 * jrows[1] + z2 * jrows[2]
+        u = dr - r2 * (dinv * jz)  # (B, ydim)
+        # q = J^T u
+        q = jnp.concatenate(
+            [jnp.sum(jrows[k] * u, axis=1, keepdims=True) for k in range(xdim)],
+            axis=1,
+        )  # (B, xdim)
+        s_lik = (q + sig2 * prior_vjp1(q, hs)) / alpha
+        if clip is not None:
+            norm = jnp.sqrt(jnp.sum(s_lik * s_lik, axis=-1, keepdims=True))
+            s_lik = s_lik * jnp.minimum(1.0, clip / (norm + 1e-12))
+
+        a_tot = g_s * (s_prior + s_lik)
+        mu = (1.0 - 0.5 * lmbd) * g_s * a_tot + 0.5 * beta_s * x
+        if noise_scale == 0.0:
+            return x + delta * mu
+        sigma = (1.0 - lmbd) ** 0.5 * g_s
+        noise = noise_scale * _box_muller(x.shape)
+        return x + delta * mu + sqrt_delta * sigma * noise
+
+    out_ref[:] = jax.lax.fori_loop(0, num_steps, step, x0)
+
+
 def fused_guided_em_sampler(
     prior_params: Sequence[Tuple[Array, Array]],
     surrogate_params: Sequence[Tuple[Array, Array]],
@@ -210,8 +375,9 @@ def fused_guided_em_sampler(
     compute_dtype=jnp.float32,
     noise_scale: float = 1.0,
     interpret=False,
+    guidance: str = "dps",
 ) -> Array:
-    """Run the fused analytic-guidance DPS sampler.
+    """Run the fused analytic-guidance sampler.
 
     prior_params: tanh MLP (W, b) pairs, layer 0 consuming [x, t].
     surrogate_params: relu MLP (W, b) pairs mapping xdim -> ydim (the frozen
@@ -219,12 +385,20 @@ def fused_guided_em_sampler(
     x0: (N, xdim) initial noise (drawn OUTSIDE with jax.random for exact
     key parity with the XLA path's initialization).
     y: (ydim,) single observed condition shared by the batch.
+    guidance: 'dps' (Tweedie point-estimate likelihood gradient) or 'pgdm'
+    (variance-corrected ΠGDM via the in-kernel Woodbury solve; xdim must
+    be 3 — the inner 3x3 inverse is closed-form).
     compute_dtype defaults to float32: the guidance math divides by
     (a f)^2 + b^2 with b=0.01, and bf16 matmul error is amplified ~1e2
     before the norm cap; f32 keeps kernel-vs-XLA parity at 1e-4.
     Returns (N, xdim) float32 samples.
     """
     xdim = x0.shape[-1]
+    if guidance not in ("dps", "pgdm"):
+        raise ValueError(f"unknown guidance {guidance!r}")
+    if guidance == "pgdm" and xdim != 3:
+        raise ValueError("the fused pgdm kernel's closed-form 3x3 Woodbury "
+                         f"inverse requires xdim=3, got {xdim}")
     n = x0.shape[0]
     (w1, b1) = prior_params[0]
     if w1.shape[0] != xdim + 1:
@@ -262,7 +436,7 @@ def fused_guided_em_sampler(
         specs += [full(), full(), full()]
 
     kernel = functools.partial(
-        _guided_em_kernel,
+        _guided_em_kernel if guidance == "dps" else _pgdm_em_kernel,
         n_prior=len(prior_params),
         n_surr=len(surrogate_params),
         num_steps=num_steps,

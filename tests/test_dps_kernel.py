@@ -113,3 +113,81 @@ def test_fused_guided_kernel_rejects_conditional_prior(key):
             bad, surr_params, x0, y, a=0.2, b=0.1, num_steps=2,
             noise_scale=0.0, block_rows=8, interpret=pltpu.InterpretParams(),
         )
+
+
+def _xla_pgdm_em(prior_params, forward_fn, x0, y, *, a, b, clip,
+                 num_steps, base=VPSDE()):
+    """Noise-free ΠGDM-guided E-M, the XLA formulation the fused pgdm
+    kernel must match (losses.pgdm_likelihood_score + the E-M update)."""
+    n = x0.shape[0]
+    ys = jnp.broadcast_to(y, (n, y.shape[-1]))
+    delta = base.T / num_steps
+
+    def apply_a(x, s):
+        t_col = jnp.full((n, 1), s)
+        s_prior = nets.prior_mlp_apply(prior_params, x, t_col)
+        s_lik = L.pgdm_likelihood_score(
+            nets.prior_mlp_apply, prior_params, base, forward_fn,
+            x, ys, t_col, a=a, b=b,
+        )
+        if clip is not None:
+            norm = jnp.linalg.norm(s_lik, axis=-1, keepdims=True)
+            s_lik = s_lik * jnp.minimum(1.0, clip / (norm + 1e-12))
+        return base.g(t_col) * (s_prior + s_lik)
+
+    x = x0
+    for i in range(num_steps):
+        s = base.T - (i / num_steps) * base.T
+        beta_s = base.beta_min + (base.beta_max - base.beta_min) * s
+        mu = jnp.sqrt(beta_s) * apply_a(x, s) + 0.5 * beta_s * x
+        x = x + delta * mu
+    return x
+
+
+def test_fused_pgdm_kernel_matches_xla(key):
+    prior_params, surr_params, forward_fn, x0, y = _setup(key)
+    want = _xla_pgdm_em(
+        prior_params, forward_fn, x0, y, a=0.2, b=0.1, clip=10.0, num_steps=8
+    )
+    got = fused_guided_em_sampler(
+        prior_params, surr_params, x0, y,
+        a=0.2, b=0.1, guidance_clip=10.0, num_steps=8, guidance="pgdm",
+        noise_scale=0.0, block_rows=8, interpret=pltpu.InterpretParams(),
+    )
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_fused_pgdm_kernel_real_surrogate_single_step(key):
+    """One guided step against the REAL 4-layer frozen surrogate (the
+    production shapes: 3 -> 256^3 -> 23 relu)."""
+    from dmip_tpu.problems import scatterometry as scat
+
+    fwd, p = scat.load_forward_model()
+    sw = scat.load_surrogate_weights()
+    prior_params = nets.mlp_init(key, 4, 3, (64, 64))
+    kx, _ = jax.random.split(key)
+    x0 = jax.random.normal(kx, (8, 3)) * 0.1
+    y = fwd(x0[0])
+    want = _xla_pgdm_em(prior_params, fwd, x0, y, a=p["a"], b=p["b"],
+                        clip=10.0, num_steps=2)
+    got = fused_guided_em_sampler(
+        prior_params, sw, x0, y, a=p["a"], b=p["b"], guidance_clip=10.0,
+        num_steps=2, guidance="pgdm", noise_scale=0.0, block_rows=8,
+        interpret=pltpu.InterpretParams(),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_fused_pgdm_kernel_rejects_non_3d(key):
+    prior_params = nets.mlp_init(key, 3, 2, (8,))
+    surr_params = nets.mlp_init(key, 2, 4, (8,))
+    x0 = jnp.zeros((4, 2))
+    with pytest.raises(ValueError, match="xdim=3"):
+        fused_guided_em_sampler(
+            prior_params, surr_params, x0, jnp.zeros(4), a=0.2, b=0.1,
+            guidance="pgdm", num_steps=1, noise_scale=0.0, block_rows=4,
+            interpret=pltpu.InterpretParams(),
+        )

@@ -208,8 +208,6 @@ def test_analytic_guidance_dps_pallas_method_validation(key):
         base, fwd, p, guidance_clip=5.0, guidance="pgdm",
         surrogate_weights=scat.load_surrogate_weights(),
     )
-    with pytest.raises(ValueError, match="dps"):
-        pgdm.sample(params, key, y, 8, 2, method="pallas")
     with pytest.raises(ValueError, match="heun"):
         pgdm.sample(params, key, y, 8, 2, method="heun")
 
