@@ -589,9 +589,10 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
     """Scatterometry evaluation against MCMC ground truth.
 
     ``progress_every=N`` prints a flushed heartbeat every N conditions with
-    the running rate — long protocols on slow sampling paths (the guided
-    DPS/ΠGDM drift has no fused kernel) are otherwise silent for an hour+
-    on the tunnel and indistinguishable from a hung remote compile.
+    the running rate — long protocols on slow sampling paths are otherwise
+    silent for an hour+ on the tunnel and indistinguishable from a hung
+    remote compile.  (The guided DPS/ΠGDM drifts now have fused kernels,
+    ops/dps_kernel.py, so their full protocols run in minutes.)
 
     ``gt_loader(i, j)`` returns the (n_samples_x, 3) GT array for condition i,
     repeat j (reference datasets.get_gt_samples_scatterometry).  Returns

@@ -47,6 +47,9 @@ def main():
     p.add_argument("--select_repeats", type=int, default=2)
     p.add_argument("--full", action="store_true",
                    help="also run the full protocol on the best clip")
+    p.add_argument("--chunk", type=int, default=10,
+                   help="conditions vmapped/lax.map'd per dispatch "
+                        "(tunnel-latency amortization)")
     p.add_argument("--full_repeats", type=int, default=10,
                    help="repeats for the --full run (100 ys x N x 30k; the "
                         "reference protocol is 10 — lower values trade "
@@ -106,6 +109,7 @@ def main():
             y_test[: args.select_ys], gt_loader, k_eval,
             n_samples_x=30000, n_repeats=args.select_repeats,
             num_steps=args.num_steps, verbose=False, progress_every=5,
+            chunk=args.chunk,
         )
         print(f"clip={clip}: sel-KL={kl:.4f} NLPD={nlpd:.4f}", flush=True)
         results.append((kl, clip))
@@ -129,7 +133,7 @@ def main():
             ag, params, forward_model, fparams, score_post,
             y_test, gt_loader, k_eval, n_samples_x=30000,
             n_repeats=args.full_repeats,
-            num_steps=args.num_steps,
+            num_steps=args.num_steps, chunk=args.chunk,
             out_dir=f"results/scatterometry_dps_analytic_clip{best_clip}",
             verbose=False, progress_every=5,
         )

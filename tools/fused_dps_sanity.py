@@ -1,0 +1,84 @@
+"""Real-TPU sanity check for the fused guided kernels (ops/dps_kernel.py).
+
+Loads the trained DPS prior checkpoint and compares the fused Pallas
+sampler against the XLA autodiff path on a few conditions:
+
+  * distribution-level agreement (per-condition mean/std of 30k samples),
+  * wall-clock per condition for both paths.
+
+The trajectories cannot match sample-for-sample (different PRNG streams,
+like the plain fused E-M kernel); agreement is statistical.  Deterministic
+per-step parity is covered in tests/test_dps_kernel.py (interpret mode).
+
+Usage: python tools/fused_dps_sanity.py [--guidance dps|pgdm] [--clip 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from dmip_tpu import checkpoints, data, nets, train
+from dmip_tpu.models import AnalyticGuidanceDPS
+from dmip_tpu.problems import scatterometry as scat
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--guidance", choices=["dps", "pgdm"], default="dps")
+    p.add_argument("--clip", type=float, default=10.0)
+    p.add_argument("--train_dir", default="trained_models/scatterometry_dps")
+    p.add_argument("--n_ys", type=int, default=3)
+    p.add_argument("--n_samples", type=int, default=30000)
+    args = p.parse_args()
+
+    forward_model, fparams = scat.load_forward_model()
+    model, _ = train.get_model_from_args(
+        {"model": "Posterior", "lam": 1.0},
+        {"xdim": 3, "ydim": 23, "hidden_layers": [512, 512, 512]},
+    )
+    template = model.init(jax.random.PRNGKey(0))
+    params = checkpoints.load_checkpoint(
+        os.path.join(args.train_dir, "checkpoint"), template, None
+    )[0]
+
+    key = jax.random.PRNGKey(13)
+    _, y_test = data.generate_dataset_scatterometry(
+        key, forward_model, fparams["a"], fparams["b"], size=args.n_ys
+    )
+
+    for method, surr in (
+        ("xla", None),
+        ("pallas", scat.load_surrogate_weights()),
+    ):
+        ag = AnalyticGuidanceDPS(
+            model, forward_model, fparams, guidance_clip=args.clip,
+            guidance=args.guidance, surrogate_weights=surr,
+        )
+        sampler = jax.jit(
+            lambda k, y: ag.sample(params, k, y, args.n_samples, 200,
+                                   method=method)
+        )
+        out = jax.block_until_ready(sampler(key, y_test[0]))  # compile
+        t0 = time.time()
+        for i in range(args.n_ys):
+            out = sampler(jax.random.fold_in(key, i), y_test[i])
+            xs = np.asarray(out)
+            print(f"{method} y{i}: mean={xs.mean(0).round(4)} "
+                  f"std={xs.std(0).round(4)} finite={np.isfinite(xs).all()}",
+                  flush=True)
+        dt = (time.time() - t0) / args.n_ys
+        print(f"{method}: {dt:.2f} s/condition "
+              f"({args.n_samples * 200 / dt / 1e6:.1f}M sample-steps/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
