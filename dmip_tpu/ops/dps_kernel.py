@@ -399,6 +399,9 @@ def fused_guided_em_sampler(
     if guidance == "pgdm" and xdim != 3:
         raise ValueError("the fused pgdm kernel's closed-form 3x3 Woodbury "
                          f"inverse requires xdim=3, got {xdim}")
+    if guidance == "pgdm" and len(surrogate_params) < 2:
+        raise ValueError("the fused pgdm kernel's Jacobian chain assumes a "
+                         "relu hidden layer (>=2 surrogate layers)")
     n = x0.shape[0]
     (w1, b1) = prior_params[0]
     if w1.shape[0] != xdim + 1:
