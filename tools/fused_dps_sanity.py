@@ -41,19 +41,20 @@ def main():
 
     forward_model, fparams = scat.load_forward_model()
     model, _ = train.get_model_from_args(
-        {"model": "Posterior", "lam": 1.0},
-        {"xdim": 3, "ydim": 23, "hidden_layers": [512, 512, 512]},
+        {"model": "Posterior", "lam": 1.0, "hidden_layers": [512, 512, 512]},
+        fparams,
     )
     template = model.init(jax.random.PRNGKey(0))
     params = checkpoints.load_checkpoint(
         os.path.join(args.train_dir, "checkpoint"), template, None
-    )[0]
+    )["params"]
 
     key = jax.random.PRNGKey(13)
     _, y_test = data.generate_dataset_scatterometry(
         key, forward_model, fparams["a"], fparams["b"], size=args.n_ys
     )
 
+    samples = {}
     for method, surr in (
         ("xla", None),
         ("pallas", scat.load_surrogate_weights()),
@@ -68,16 +69,36 @@ def main():
         )
         out = jax.block_until_ready(sampler(key, y_test[0]))  # compile
         t0 = time.time()
+        per_y = []
         for i in range(args.n_ys):
             out = sampler(jax.random.fold_in(key, i), y_test[i])
             xs = np.asarray(out)
+            per_y.append(xs)
             print(f"{method} y{i}: mean={xs.mean(0).round(4)} "
                   f"std={xs.std(0).round(4)} finite={np.isfinite(xs).all()}",
                   flush=True)
         dt = (time.time() - t0) / args.n_ys
+        samples[method] = per_y
         print(f"{method}: {dt:.2f} s/condition "
               f"({args.n_samples * 200 / dt / 1e6:.1f}M sample-steps/s)",
               flush=True)
+
+    # Distribution-level agreement: sliced-W2 between the two samplers'
+    # populations per condition (same metric the eval harness reports;
+    # the GT-vs-GT floor at 30k samples is ~0.003).
+    from dmip_tpu.evaluate import sliced_w2
+
+    worst = 0.0
+    for i in range(args.n_ys):
+        w2 = float(sliced_w2(jax.random.PRNGKey(99),
+                             samples["xla"][i], samples["pallas"][i]))
+        worst = max(worst, w2)
+        print(f"y{i}: sliced-W2(xla, pallas) = {w2:.5f}", flush=True)
+    if worst > 0.02:
+        print(f"MISMATCH: worst sliced-W2 {worst:.4f} > 0.02", flush=True)
+        sys.exit(1)
+    print(f"OK: fused and XLA samplers agree (worst sliced-W2 {worst:.5f})",
+          flush=True)
 
 
 if __name__ == "__main__":
