@@ -50,6 +50,12 @@ def main():
     p.add_argument("--chunk", type=int, default=10,
                    help="conditions vmapped/lax.map'd per dispatch "
                         "(tunnel-latency amortization)")
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="sampler path ('auto' picks the fused Pallas "
+                        "guidance kernel on TPU; 'xla' forces the autodiff "
+                        "scan — the reference implementation the kernels "
+                        "are validated against)")
     p.add_argument("--full_repeats", type=int, default=10,
                    help="repeats for the --full run (100 ys x N x 30k; the "
                         "reference protocol is 10 — lower values trade "
@@ -109,7 +115,7 @@ def main():
             y_test[: args.select_ys], gt_loader, k_eval,
             n_samples_x=30000, n_repeats=args.select_repeats,
             num_steps=args.num_steps, verbose=False, progress_every=5,
-            chunk=args.chunk,
+            chunk=args.chunk, method=args.method,
         )
         print(f"clip={clip}: sel-KL={kl:.4f} NLPD={nlpd:.4f}", flush=True)
         results.append((kl, clip))
@@ -133,7 +139,7 @@ def main():
             ag, params, forward_model, fparams, score_post,
             y_test, gt_loader, k_eval, n_samples_x=30000,
             n_repeats=args.full_repeats,
-            num_steps=args.num_steps, chunk=args.chunk,
+            num_steps=args.num_steps, chunk=args.chunk, method=args.method,
             out_dir=f"results/scatterometry_dps_analytic_clip{best_clip}",
             verbose=False, progress_every=5,
         )
