@@ -40,7 +40,18 @@ run train_cde500k    7200 python tools/refined_snf_parity.py --train
 run archive_cde500k   300 python tools/archive_checkpoint.py \
       "grid_search_results/scatterometry_full/cScoreFPE/PINNLoss/L2/L1/lam:0.01/lam2:0.01/checkpoint_xlong" \
       cde_500k --note "converged CDE: best grid trial retrained 500k epochs + cosine lr (tools/refined_snf_parity.py --train); KL 0.624 / NLPD 1.17; proposal net of the energy-refined flagship"
-# 5. bench health check on the freed chip
+# 5. rebuild the baselines (SNF/DSM-diffusion/INN checkpoints + fresh
+#    full-protocol per-condition CSV — wiped with results/; needed for
+#    paired refined-vs-SNF stats)
+run baselines        10800 python mains/main_baselines_scatterometry.py
+# 6-7. leaner refinement budgets at the FULL protocol: the round-3 sweep
+#    showed hist-KL is minimized by SHORT chains (full-KL rises monotonically
+#    with refine steps: 0.586@mh5 -> 0.595@mh40 while NLPD/W2 improve);
+#    mh3/std0.1 and mh5/std0.05 probe whether an even shorter budget lands
+#    KL <= 0.58 while keeping NLPD <= 0.65 (VERDICT round-3 target)
+run refined_mh3       3600 python tools/refined_snf_parity.py --full mh,3,0.1 --paired
+run refined_mh5s05    3600 python tools/refined_snf_parity.py --full mh,5,0.05 --paired
+# 8. bench health check on the freed chip
 run bench_r3          1800 python bench.py
 
 echo "=== POST QUEUE DONE $(date) ==="
