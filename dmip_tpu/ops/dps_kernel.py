@@ -50,6 +50,7 @@ def _guided_em_kernel(
     x0_ref,
     y_ref,
     *rest_refs,
+    guidance: str,
     n_prior: int,
     n_surr: int,
     num_steps: int,
@@ -65,161 +66,27 @@ def _guided_em_kernel(
 ):
     """One batch block: all num_steps guided EM updates in VMEM.
 
+    The scaffolding (ref unpacking, prior forward, VP time grid, norm cap,
+    Euler-Maruyama update) is shared; ``guidance`` (static) selects the
+    likelihood-score computation:
+
+    'dps' (losses.likelihood_score_target): surrogate fwd at the Tweedie
+    point estimate, three row-stacked VJPs (cotangents v1/v2/v3 of the
+    heteroscedastic Gaussian gradient) and three prior-net VHPs, each
+    backward layer a single MXU matmul.
+
+    'pgdm' (losses.pgdm_likelihood_score): surrogate fwd + full Jacobian J
+    (xdim forward tangents, row-stacked through the relu chain), Woodbury
+    solve u = (D + r^2 J J^T)^{-1} (y - f) with the 3x3 inner matrix
+    inverted in closed form (adjugate) per sample, then q = J^T u and one
+    prior-net VJP for the Tweedie chain rule:
+    s_lik = (q + std^2 (ds/dx)^T q) / alpha.
+
     rest_refs layout (all VMEM):
       prior layer 1: w1x (xdim, H), w1t (1, H), b1 (1, H), w1xT (H, xdim)
       prior layers 2..n_prior: (W, b, W^T) triples
       surrogate layers 1..n_surr: (U, c, U^T) triples
       out_ref last.
-    """
-    out_ref = rest_refs[-1]
-    pw1x = rest_refs[0]
-    pw1t = rest_refs[1]
-    pb1 = rest_refs[2]
-    pw1xT = rest_refs[3]
-    prior_refs = rest_refs[4 : 4 + 3 * (n_prior - 1)]
-    surr_refs = rest_refs[4 + 3 * (n_prior - 1) : 4 + 3 * (n_prior - 1) + 3 * n_surr]
-
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-
-    x0 = x0_ref[:]  # (B, xdim) f32
-    y = y_ref[:]  # (1, ydim) f32
-
-    delta = T / num_steps
-    sqrt_delta = delta**0.5
-    bd = beta_max - beta_min
-    a2 = a_coef * a_coef
-    b2 = b_coef * b_coef
-
-    def mm(lhs, w_ref):
-        return jax.lax.dot_general(
-            lhs.astype(compute_dtype), w_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def prior_fwd(x, s):
-        """Forward through the tanh prior MLP; returns (s_prior, hiddens)."""
-        h = jnp.tanh(mm(x, pw1x) + s * pw1t[:] + pb1[:])
-        hs = [h]
-        for i in range(n_prior - 2):
-            w = prior_refs[3 * i]
-            b = prior_refs[3 * i + 1]
-            h = jnp.tanh(mm(h, w) + b[:])
-            hs.append(h)
-        w = prior_refs[3 * (n_prior - 2)]
-        b = prior_refs[3 * (n_prior - 2) + 1]
-        return mm(h, w) + b[:], hs
-
-    def prior_vjp3(u, hs):
-        """Stacked VJP of the prior net w.r.t. x: u is (3B, xdim)."""
-        e = u
-        for i in range(n_prior - 1, 0, -1):
-            wT = prior_refs[3 * (i - 1) + 2]
-            hk = hs[i - 1]
-            h3 = jnp.concatenate([hk, hk, hk], axis=0)
-            e = mm(e, wT) * (1.0 - h3 * h3)
-        return mm(e, pw1xT)  # (3B, xdim)
-
-    def surr_fwd(x):
-        """Forward through the relu surrogate; returns (f, hiddens)."""
-        g = x
-        gs = []
-        for i in range(n_surr - 1):
-            u_r = surr_refs[3 * i]
-            c_r = surr_refs[3 * i + 1]
-            g = jnp.maximum(mm(g, u_r) + c_r[:], 0.0)
-            gs.append(g)
-        u_r = surr_refs[3 * (n_surr - 1)]
-        c_r = surr_refs[3 * (n_surr - 1) + 1]
-        return mm(g, u_r) + c_r[:], gs
-
-    def surr_vjp3(v, gs):
-        """Stacked VJP of the surrogate w.r.t. its input: v is (3B, ydim)."""
-        d = v
-        for i in range(n_surr - 1, 0, -1):
-            uT = surr_refs[3 * i + 2]
-            gk = gs[i - 1]
-            g3 = jnp.concatenate([gk, gk, gk], axis=0)
-            d = mm(d, uT) * (g3 > 0.0).astype(jnp.float32)
-        return mm(d, surr_refs[2])  # (3B, xdim)
-
-    B = x0.shape[0]
-
-    def step(i, x):
-        t = (i.astype(jnp.float32) / num_steps) * T
-        s = T - t
-        beta_s = beta_min + bd * s
-        g_s = jnp.sqrt(beta_s)
-        int_beta = 0.5 * bd * s * s + beta_min * s
-        alpha = jnp.exp(-0.5 * int_beta)
-        sig2 = 1.0 - jnp.exp(-int_beta)  # std^2
-
-        s_prior, hs = prior_fwd(x, s)
-        x_hat0 = (x + sig2 * s_prior) / alpha
-
-        f, gs = surr_fwd(x_hat0)
-        pinv = 1.0 / ((a2 * f) * f + b2)
-        resid = y - f  # broadcast (B, ydim)
-        v1 = f * pinv
-        v2 = resid * pinv
-        v3 = (resid * resid) * f * (pinv * pinv)
-
-        vjp = surr_vjp3(jnp.concatenate([v1, v2, v3], axis=0), gs)
-        vhp = prior_vjp3(vjp, hs)
-        vjp1, vjp2, vjp3 = vjp[:B], vjp[B : 2 * B], vjp[2 * B :]
-        vhp1, vhp2, vhp3 = vhp[:B], vhp[B : 2 * B], vhp[2 * B :]
-
-        target = (
-            -a2 * (sig2 * vhp1 + vjp1)
-            + sig2 * vhp2
-            + vjp2
-            + a2 * (sig2 * vhp3 + vjp3)
-        )
-        s_lik = target / alpha
-        if clip is not None:
-            norm = jnp.sqrt(jnp.sum(s_lik * s_lik, axis=-1, keepdims=True))
-            s_lik = s_lik * jnp.minimum(1.0, clip / (norm + 1e-12))
-
-        a_tot = g_s * (s_prior + s_lik)
-        mu = (1.0 - 0.5 * lmbd) * g_s * a_tot + 0.5 * beta_s * x
-        if noise_scale == 0.0:
-            return x + delta * mu
-        sigma = (1.0 - lmbd) ** 0.5 * g_s
-        noise = noise_scale * _box_muller(x.shape)
-        return x + delta * mu + sqrt_delta * sigma * noise
-
-    out_ref[:] = jax.lax.fori_loop(0, num_steps, step, x0)
-
-
-def _pgdm_em_kernel(
-    seed_ref,
-    x0_ref,
-    y_ref,
-    *rest_refs,
-    n_prior: int,
-    n_surr: int,
-    num_steps: int,
-    T: float,
-    beta_min: float,
-    beta_max: float,
-    lmbd: float,
-    a_coef: float,
-    b_coef: float,
-    clip: Optional[float],
-    noise_scale: float,
-    compute_dtype,
-):
-    """ΠGDM variant (losses.pgdm_likelihood_score): per step,
-
-      * prior fwd  s = prior(x, s_time);  Tweedie  x0 = (x + std^2 s)/alpha
-      * surrogate fwd f = surr(x0) + its full Jacobian J (xdim forward
-        tangents, row-stacked through the relu chain)
-      * Woodbury solve  u = (D + r^2 J J^T)^{-1} (y - f)  with the 3x3
-        inner matrix inverted in closed form (adjugate) per sample
-      * q = J^T u, then one prior-net VJP for the Tweedie chain rule:
-        s_lik = (q + std^2 * (ds/dx)^T q) / alpha
-
-    Same ref layout as _guided_em_kernel.
     """
     out_ref = rest_refs[-1]
     pw1x = rest_refs[0]
@@ -250,6 +117,7 @@ def _pgdm_em_kernel(
         )
 
     def prior_fwd(x, s):
+        """Forward through the tanh prior MLP; returns (s_prior, hiddens)."""
         h = jnp.tanh(mm(x, pw1x) + s * pw1t[:] + pb1[:])
         hs = [h]
         for i in range(n_prior - 2):
@@ -258,13 +126,38 @@ def _pgdm_em_kernel(
         k = n_prior - 2
         return mm(h, prior_refs[3 * k]) + prior_refs[3 * k + 1][:], hs
 
-    def prior_vjp1(u, hs):
+    def prior_vjp(u, hs, stack: int):
+        """VJP of the prior net w.r.t. x: u is (stack*B, xdim)."""
         e = u
         for i in range(n_prior - 1, 0, -1):
             wT = prior_refs[3 * (i - 1) + 2]
             hk = hs[i - 1]
-            e = mm(e, wT) * (1.0 - hk * hk)
-        return mm(e, pw1xT)  # (B, xdim)
+            hrep = jnp.concatenate([hk] * stack, axis=0) if stack > 1 else hk
+            e = mm(e, wT) * (1.0 - hrep * hrep)
+        return mm(e, pw1xT)  # (stack*B, xdim)
+
+    def surr_fwd(x):
+        """Forward through the relu surrogate; returns (f, hiddens)."""
+        g = x
+        gs = []
+        for i in range(n_surr - 1):
+            u_r = surr_refs[3 * i]
+            c_r = surr_refs[3 * i + 1]
+            g = jnp.maximum(mm(g, u_r) + c_r[:], 0.0)
+            gs.append(g)
+        u_r = surr_refs[3 * (n_surr - 1)]
+        c_r = surr_refs[3 * (n_surr - 1) + 1]
+        return mm(g, u_r) + c_r[:], gs
+
+    def surr_vjp3(v, gs):
+        """Stacked VJP of the surrogate w.r.t. its input: v is (3B, ydim)."""
+        d = v
+        for i in range(n_surr - 1, 0, -1):
+            uT = surr_refs[3 * i + 2]
+            gk = gs[i - 1]
+            g3 = jnp.concatenate([gk, gk, gk], axis=0)
+            d = mm(d, uT) * (g3 > 0.0).astype(jnp.float32)
+        return mm(d, surr_refs[2])  # (3B, xdim)
 
     def surr_fwd_jac(x):
         """Forward pass AND full Jacobian (xdim tangents, row-stacked)."""
@@ -290,19 +183,31 @@ def _pgdm_em_kernel(
         jac = mm(tang, surr_refs[3 * k])  # (xdim*B, ydim)
         return f, jac
 
-    def step(i, x):
-        t = (i.astype(jnp.float32) / num_steps) * T
-        s = T - t
-        beta_s = beta_min + bd * s
-        g_s = jnp.sqrt(beta_s)
-        int_beta = 0.5 * bd * s * s + beta_min * s
-        alpha = jnp.exp(-0.5 * int_beta)
-        sig2 = 1.0 - jnp.exp(-int_beta)
+    def dps_likelihood_score(x_hat0, hs, sig2, alpha):
+        """losses.likelihood_score_target (v3-corrected, SURVEY §2.3.13)."""
+        f, gs = surr_fwd(x_hat0)
+        pinv = 1.0 / ((a2 * f) * f + b2)
+        resid = y - f  # broadcast (B, ydim)
+        v1 = f * pinv
+        v2 = resid * pinv
+        v3 = (resid * resid) * f * (pinv * pinv)
+
+        vjp = surr_vjp3(jnp.concatenate([v1, v2, v3], axis=0), gs)
+        vhp = prior_vjp(vjp, hs, stack=3)
+        vjp1, vjp2, vjp3 = vjp[:B], vjp[B : 2 * B], vjp[2 * B :]
+        vhp1, vhp2, vhp3 = vhp[:B], vhp[B : 2 * B], vhp[2 * B :]
+
+        target = (
+            -a2 * (sig2 * vhp1 + vjp1)
+            + sig2 * vhp2
+            + vjp2
+            + a2 * (sig2 * vhp3 + vjp3)
+        )
+        return target / alpha
+
+    def pgdm_likelihood_score(x_hat0, hs, sig2, alpha):
+        """losses.pgdm_likelihood_score via the in-kernel Woodbury solve."""
         r2 = sig2 / (alpha * alpha + sig2)
-
-        s_prior, hs = prior_fwd(x, s)
-        x_hat0 = (x + sig2 * s_prior) / alpha
-
         f, jac = surr_fwd_jac(x_hat0)
         dinv = 1.0 / ((a2 * f) * f + b2)  # (B, ydim)
         resid = y - f
@@ -340,7 +245,25 @@ def _pgdm_em_kernel(
             [jnp.sum(jrows[k] * u, axis=1, keepdims=True) for k in range(xdim)],
             axis=1,
         )  # (B, xdim)
-        s_lik = (q + sig2 * prior_vjp1(q, hs)) / alpha
+        return (q + sig2 * prior_vjp(q, hs, stack=1)) / alpha
+
+    likelihood_score = (
+        dps_likelihood_score if guidance == "dps" else pgdm_likelihood_score
+    )
+
+    def step(i, x):
+        t = (i.astype(jnp.float32) / num_steps) * T
+        s = T - t
+        beta_s = beta_min + bd * s
+        g_s = jnp.sqrt(beta_s)
+        int_beta = 0.5 * bd * s * s + beta_min * s
+        alpha = jnp.exp(-0.5 * int_beta)
+        sig2 = 1.0 - jnp.exp(-int_beta)  # std^2
+
+        s_prior, hs = prior_fwd(x, s)
+        x_hat0 = (x + sig2 * s_prior) / alpha
+
+        s_lik = likelihood_score(x_hat0, hs, sig2, alpha)
         if clip is not None:
             norm = jnp.sqrt(jnp.sum(s_lik * s_lik, axis=-1, keepdims=True))
             s_lik = s_lik * jnp.minimum(1.0, clip / (norm + 1e-12))
@@ -439,7 +362,8 @@ def fused_guided_em_sampler(
         specs += [full(), full(), full()]
 
     kernel = functools.partial(
-        _guided_em_kernel if guidance == "dps" else _pgdm_em_kernel,
+        _guided_em_kernel,
+        guidance=guidance,
         n_prior=len(prior_params),
         n_surr=len(surrogate_params),
         num_steps=num_steps,
