@@ -89,6 +89,12 @@ def get_gt_samples_scatterometry(src_dir: str, y_idx: int, repeat: int):
         return np.load(f)
 
 
+# Optimizer steps per scatterometry epoch (reference datasets.py:26-34:
+# 8 x batch_size fresh samples every epoch).  lr schedules that count
+# optimizer steps (cosine decay_steps) must scale n_epochs by this.
+SCATTEROMETRY_BATCHES_PER_EPOCH = 8
+
+
 def scatterometry_epoch_batches(
     key: Array,
     forward_model: Callable[[Array], Array],
@@ -96,7 +102,7 @@ def scatterometry_epoch_batches(
     b: float,
     lambd_bd: float,
     batch_size: int,
-    n_batches: int = 8,
+    n_batches: int = SCATTEROMETRY_BATCHES_PER_EPOCH,
 ) -> Tuple[Array, Array]:
     """Fresh per-epoch simulation: prior samples -> surrogate -> noise.
 

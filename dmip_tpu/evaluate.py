@@ -425,16 +425,15 @@ def _write_results_csv(path: str, columns: Dict[str, Sequence[float]]) -> None:
 
 def _resolve_eval_mesh(mesh, n_items: int):
     """'auto' -> a data mesh over all visible devices when >1 (and the
-    work is wide enough to shard), an explicit Mesh, or None (sequential)."""
-    if mesh == "auto":
-        if len(jax.devices()) > 1 and n_items > 1:
-            from .parallel.mesh import get_mesh
+    work is wide enough to shard), an explicit Mesh, or None (sequential).
 
-            return get_mesh()
+    Same policy as training (train.resolve_mesh) with an extra guard: a
+    single condition can't be sharded over the condition axis."""
+    from .train import resolve_mesh
+
+    if mesh == "auto" and n_items <= 1:
         return None
-    if mesh is not None and getattr(mesh, "size", 1) <= 1:
-        return None
-    return mesh
+    return resolve_mesh(mesh)
 
 
 def evaluate_linear(
@@ -631,8 +630,18 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
     w2_vals = []
     t_start = time.time()
 
+    prev_done = [0]
+
     def _progress(done: int) -> None:
-        if progress_every and (done % progress_every == 0 or done == n_y):
+        # Fire on crossing a progress_every boundary, not on exact multiples:
+        # the chunked path reports done in chunk_n strides, which may never
+        # hit a multiple of progress_every.
+        crossed = (
+            progress_every
+            and done // progress_every > prev_done[0] // progress_every
+        )
+        prev_done[0] = done
+        if progress_every and (crossed or done == n_y):
             rate = done / max(time.time() - t_start, 1e-9)
             print(
                 f"[eval-scat] {done}/{n_y} conditions "

@@ -59,7 +59,6 @@ def run(config, gt_dir, eval_only: bool = False):
         dimension=xdim, dimension_condition=ydim,
     )
 
-    log_dir = set_directories(config["train_dir"], config["out_dir"])
     bs = int(config["batch_size"])
     batch_fn = lambda k: data.scatterometry_epoch_batches(
         k, forward_model, a, b, lambd_bd, bs
@@ -68,7 +67,10 @@ def run(config, gt_dir, eval_only: bool = False):
 
     if eval_only:
         # Re-score existing checkpoints (e.g. after adding a metric) without
-        # paying the three training runs.
+        # paying the three training runs.  Deliberately no set_directories
+        # here: that would wipe the previous results AND the training run's
+        # logs before we even know the checkpoints load (_evaluate creates
+        # out_dir itself and overwrites results.csv).
         snf_params, d_params, inn_params = (
             checkpoints.load_checkpoint(
                 os.path.join(config["train_dir"], name), m.init(k), None
@@ -82,6 +84,7 @@ def run(config, gt_dir, eval_only: bool = False):
                          score_post, neg_log_post, snf, diffusion, inn,
                          snf_params, d_params, inn_params, k_eval)
 
+    log_dir = set_directories(config["train_dir"], config["out_dir"])
     logger = MetricsWriter(log_dir)
 
     snf_params = snf.init(k_snf)

@@ -50,8 +50,8 @@ def run(config: dict, gt_dir: str) -> tuple:
     optimizer = train.build_optimizer(
         float(config.get("lr", 1e-4)), config.get("grad_clip"),
         schedule=config.get("lr_schedule"),
-        # scatterometry_epoch_batches yields 8 optimizer steps per epoch
-        decay_steps=int(config["n_epochs"]) * 8,
+        decay_steps=int(config["n_epochs"])
+        * data.SCATTEROMETRY_BATCHES_PER_EPOCH,
         lr_min_ratio=float(config.get("lr_min_ratio", 0.01)),
     )
     opt_state, start_epoch = None, 0

@@ -314,6 +314,31 @@ def test_evaluate_scatterometry_chunked_matches_sequential(key, tmp_path):
     np.testing.assert_allclose(seq, chk, rtol=1e-4)
 
 
+def test_evaluate_scatterometry_chunked_heartbeat(key, capsys):
+    """The progress heartbeat must fire on BOUNDARY CROSSINGS: with chunk=2
+    and progress_every=3, done advances 2,4,5 — no exact multiple of 3 —
+    yet the 3-boundary crossing (done=4) must print."""
+    from dmip_tpu.evaluate import evaluate_scatterometry
+
+    model = CDE(3, 4, (16, 16))
+    params = model.init(key)
+    fwd = lambda x: jnp.tanh(x @ jnp.ones((3, 4)) * 0.3)
+    fparams = {"a": 0.2, "b": 0.01, "lambd_bd": 1000.0}
+    ys = fwd(jax.random.normal(key, (5, 3)))
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(-1, 1, size=(5, 1, 128, 3)).astype(np.float32)
+
+    evaluate_scatterometry(
+        model, params, fwd, fparams, lambda x, y: -x, ys,
+        lambda i, j: gt[i, j], jax.random.fold_in(key, 9), mesh=None,
+        chunk=2, progress_every=3, n_samples_x=128, n_repeats=1,
+        num_steps=5, nbins=10, verbose=False)
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("[eval-scat]")]
+    assert any("4/5" in l for l in lines), lines  # crossing of done=3
+    assert any("5/5" in l for l in lines), lines  # completion
+
+
 def test_gt_floor_scatterometry(key):
     """GT-vs-GT floor: two halves of the SAME sample set must floor near 0;
     disjoint finite halves of a distribution give a positive, finite floor."""

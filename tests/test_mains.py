@@ -256,7 +256,14 @@ def test_main_baselines_scatterometry_e2e_and_eval_only(tmp_path):
         header = next(csv.reader(f))
     assert "W2_SNF" in header and "W2_INN" in header
 
+    # eval_only must not wipe the training run's logs or the previous
+    # results (set_directories is skipped on that path)
+    log_file = tmp_path / "train" / "logs" / "events.jsonl"
+    assert log_file.exists()
+    log_bytes = log_file.stat().st_size
+
     mean2 = m.run(cfg, str(gt_dir), eval_only=True)
     # same checkpoints + same eval key schedule -> identical numbers
     for k in mean:
         np.testing.assert_allclose(mean2[k], mean[k], rtol=1e-5, err_msg=k)
+    assert log_file.exists() and log_file.stat().st_size == log_bytes

@@ -50,6 +50,10 @@ def archive(src: str, name: str, note: str = "") -> str:
             manifest = json.load(f)
     manifest.pop("has_opt_state", None)  # opt state deliberately not archived
     manifest.pop("has_key", None)
+    # load_checkpoint requires manifest['step']; a source dir without a
+    # manifest (hand-assembled params) would otherwise produce an archive
+    # its documented consumer cannot read.
+    manifest.setdefault("step", 0)
     manifest["archived_from"] = os.path.relpath(src, REPO)
     if note:
         manifest["note"] = note

@@ -18,9 +18,14 @@ Modes (composable):
   --paired          paired per-condition stats: refined / plain CDE vs SNF
                     (reads results CSVs; run the baselines driver with
                     --eval_only first for a fresh SNF row)
+  --paired_tags T.. report-only: paired stats for already-evaluated refined
+                    tags (results/scatterometry_refined_TAG/results.csv)
+                    without re-running the full protocol — decouples the
+                    expensive eval from the baselines rebuild in the queue
 
 Usage: python tools/refined_snf_parity.py --sweep
        python tools/refined_snf_parity.py --full mh,10,0.1 --paired
+       python tools/refined_snf_parity.py --paired_tags mh3_0.1 mh5_0.05
 """
 
 from __future__ import annotations
@@ -91,7 +96,9 @@ def train_long(args, model, loss_cfg, score_post, forward_model, fparams,
         forward_model=forward_model, forward_params=fparams,
     )
     sched = optax.cosine_decay_schedule(
-        1e-4, decay_steps=args.train_epochs * 8, alpha=0.01
+        1e-4,
+        decay_steps=args.train_epochs * data.SCATTEROMETRY_BATCHES_PER_EPOCH,
+        alpha=0.01,
     )
     optimizer = optax.adam(sched)
     epoch_fn = train.make_epoch_fn(
@@ -148,6 +155,7 @@ def main():
     p.add_argument("--select_repeats", type=int, default=2)
     p.add_argument("--full", default=None, help="kernel,steps,param")
     p.add_argument("--paired", action="store_true")
+    p.add_argument("--paired_tags", nargs="*", default=None)
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
     args = p.parse_args()
 
@@ -187,6 +195,10 @@ def main():
     if args.paired:
         tag = build(model, energy, args.full)[1] if args.full else None
         paired_report(tag)
+
+    if args.paired_tags:
+        for tag in args.paired_tags:
+            paired_report(tag)
 
 
 def _read_csv(path):
@@ -233,9 +245,13 @@ def paired_report(tag):
                   flush=True)
 
     if tag is not None:
-        report(f"refined:{tag}",
-               os.path.join("results", f"scatterometry_refined_{tag}",
-                            "results.csv"))
+        path = os.path.join("results", f"scatterometry_refined_{tag}",
+                            "results.csv")
+        if os.path.exists(path):
+            report(f"refined:{tag}", path)
+        else:
+            print(f"[refined:{tag}] no results at {path} — skipped "
+                  "(run --full first)", flush=True)
     plain = os.path.join("results", "scatterometry_refined_cde", "results.csv")
     if os.path.exists(plain):
         report("cde-500k", plain)

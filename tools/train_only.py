@@ -53,7 +53,8 @@ def main():
     optimizer = train.build_optimizer(
         float(config.get("lr", 1e-4)), config.get("grad_clip"),
         schedule=config.get("lr_schedule"),
-        decay_steps=int(config["n_epochs"]) * 8,
+        decay_steps=int(config["n_epochs"])
+        * data.SCATTEROMETRY_BATCHES_PER_EPOCH,
         lr_min_ratio=float(config.get("lr_min_ratio", 0.01)),
     )
     os.makedirs(config["train_dir"], exist_ok=True)
