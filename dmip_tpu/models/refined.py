@@ -46,8 +46,14 @@ class EnergyRefinedModel:
     (``sample(params, key, y, ...)``) and appends ``refine_steps``
     Metropolis-Hastings steps on the problem's exact negative-log-posterior —
     random-walk proposals (``kernel='mh'``, the SNF layers' default,
-    models/SNF.py:250-275) or Langevin/MALA proposals (``kernel='mala'``,
-    models/SNF.py:183-197).  ``refine_steps=0`` degenerates to the base model.
+    models/SNF.py:250-275), Metropolis-adjusted Langevin (``kernel='mala'``,
+    models/SNF.py:183-197), or UNADJUSTED Langevin (``kernel='ula'``, the
+    reference's Langevin layer run without the MH correction,
+    models/SNF.py:286-300).  ULA's stationary distribution is over-dispersed
+    by O(stepsize) — a principled smoothing knob for the sparse-histogram
+    KL protocol where fitted densities score below true posterior samples
+    (see the GT-vs-GT floor analysis in BENCHMARKS.md).
+    ``refine_steps=0`` degenerates to the base model.
 
     Duck-types the evaluation surface (``sde`` / ``xdim`` / ``ydim`` /
     ``apply_a`` / ``sample``); ``apply_a`` delegates to the base model, so
@@ -60,14 +66,16 @@ class EnergyRefinedModel:
     # over the frozen forward model; folds into the jitted sampler).
     energy_fn: Callable[[Array, Array], Array]
     refine_steps: int = 10
-    kernel: str = "mh"  # 'mh' | 'mala'
+    kernel: str = "mh"  # 'mh' | 'mala' | 'ula'
     noise_std: float = 0.4  # random-walk proposal std (kernel='mh')
-    stepsize: float = 5e-3  # Langevin stepsize (kernel='mala')
+    stepsize: float = 5e-3  # Langevin stepsize (kernel='mala'/'ula')
     lang_steps: int = 1  # Langevin sub-steps per MALA proposal
 
     def __post_init__(self):
-        if self.kernel not in ("mh", "mala"):
-            raise ValueError(f"kernel must be 'mh' or 'mala', got {self.kernel!r}")
+        if self.kernel not in ("mh", "mala", "ula"):
+            raise ValueError(
+                f"kernel must be 'mh', 'mala' or 'ula', got {self.kernel!r}"
+            )
 
     # -- DiffusionModel surface -------------------------------------------
     @property
@@ -96,6 +104,10 @@ class EnergyRefinedModel:
                 key, x, energy, self.refine_steps,
                 langevin_prop=True, lang_steps=self.lang_steps,
                 stepsize=self.stepsize,
+            )
+        elif self.kernel == "ula":
+            x_out, _, _, _ = mcmc.langevin_step(
+                key, x, self.stepsize, energy, self.refine_steps
             )
         else:
             x_out, _ = mcmc.anneal_to_energy(

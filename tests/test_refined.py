@@ -57,6 +57,21 @@ def test_mala_kernel_also_corrects(key):
     assert abs(float(np.asarray(x).std()) - 1.0) < 0.08
 
 
+def test_ula_kernel_converges_overdispersed(key):
+    """ULA (no MH correction) on the N(0,1) target: the OU recursion
+    x' = (1-h)x + sqrt(2h) eta has stationary var 1/(1 - h/2) — converged
+    BUT over-dispersed by O(h).  At h=0.3 that's std ~1.084: clearly off
+    the proposal's 1.5, clearly above the exact-kernel 1.0."""
+    model = EnergyRefinedModel(
+        _FakeBase(), _energy, refine_steps=100, kernel="ula", stepsize=0.3
+    )
+    x = jax.jit(lambda k: model.sample(None, k, jnp.zeros(3), 8000))(key)
+    std = float(np.asarray(x).std())
+    expected = (1.0 / (1.0 - 0.15)) ** 0.5
+    assert abs(std - expected) < 0.05, (std, expected)
+    assert std > 1.03  # the deliberate ULA over-dispersion is present
+
+
 def test_zero_steps_is_base_sampler(key):
     model = EnergyRefinedModel(_FakeBase(), _energy, refine_steps=0)
     k_prop, _ = jax.random.split(key)
