@@ -70,6 +70,12 @@ class EnergyRefinedModel:
     noise_std: float = 0.4  # random-walk proposal std (kernel='mh')
     stepsize: float = 5e-3  # Langevin stepsize (kernel='mala'/'ula')
     lang_steps: int = 1  # Langevin sub-steps per MALA proposal
+    # Fraction of the population the chain is applied to; the rest keeps the
+    # raw proposal.  frac<1 samples the MIXTURE rho*refined + (1-rho)*CDE:
+    # KL(p||.) is convex, so the mixture can score below BOTH components on
+    # the sparse-histogram protocol (smooth proposal and true-like refined
+    # samples miss different bins).
+    refine_frac: float = 1.0
 
     def __post_init__(self):
         if self.kernel not in ("mh", "mala", "ula"):
@@ -97,6 +103,7 @@ class EnergyRefinedModel:
         """Run the exact-energy refinement chain on a sample population."""
         if self.refine_steps <= 0:
             return x
+        key, k_frac = jax.random.split(key)
         ys_tiled = jnp.broadcast_to(y, (x.shape[0], y.shape[-1]))
         energy = lambda z: self.energy_fn(z, ys_tiled)
         if self.kernel == "mala":
@@ -113,6 +120,9 @@ class EnergyRefinedModel:
             x_out, _ = mcmc.anneal_to_energy(
                 key, x, energy, self.refine_steps, noise_std=self.noise_std
             )
+        if self.refine_frac < 1.0:
+            keep = jax.random.uniform(k_frac, (x.shape[0], 1)) < self.refine_frac
+            x_out = jnp.where(keep, x_out, x)
         return x_out
 
     def sample(

@@ -72,6 +72,18 @@ def test_ula_kernel_converges_overdispersed(key):
     assert std > 1.03  # the deliberate ULA over-dispersion is present
 
 
+def test_refine_frac_samples_the_mixture(key):
+    """frac=0.5 keeps half the raw N(0,1.5^2) proposal and refines half to
+    N(0,1): population variance ~ 0.5*2.25 + 0.5*1.0 = 1.625."""
+    model = EnergyRefinedModel(
+        _FakeBase(), _energy, refine_steps=200, kernel="mh", noise_std=0.4,
+        refine_frac=0.5,
+    )
+    x = jax.jit(lambda k: model.sample(None, k, jnp.zeros(3), 8000))(key)
+    std = float(np.asarray(x).std())
+    assert abs(std - 1.625**0.5) < 0.06, std
+
+
 def test_zero_steps_is_base_sampler(key):
     model = EnergyRefinedModel(_FakeBase(), _energy, refine_steps=0)
     k_prop, _ = jax.random.split(key)

@@ -129,16 +129,20 @@ def load_params(model, k_init):
 
 
 def build(model, energy, cfg_str):
-    """'kernel,steps,param' -> model (refined or plain CDE)."""
-    kernel, steps, param = cfg_str.split(",")
-    steps = int(steps)
+    """'kernel,steps,param[,frac]' -> model (refined or plain CDE).
+
+    frac<1 refines only that fraction of the population (the CDE/refined
+    mixture knob, models/refined.py refine_frac)."""
+    parts = cfg_str.split(",")
+    kernel, steps, param = parts[0], int(parts[1]), parts[2]
+    frac = float(parts[3]) if len(parts) > 3 else 1.0
     if kernel == "none" or steps == 0:
         return model, "cde"
     kw = ({"noise_std": float(param)} if kernel == "mh"
           else {"stepsize": float(param)})
     refined = EnergyRefinedModel(model, energy, refine_steps=steps,
-                                 kernel=kernel, **kw)
-    tag = f"{kernel}{steps}_{param}"
+                                 kernel=kernel, refine_frac=frac, **kw)
+    tag = f"{kernel}{steps}_{param}" + (f"_f{frac}" if frac < 1.0 else "")
     return refined, tag
 
 
@@ -154,6 +158,10 @@ def main():
     p.add_argument("--select_ys", type=int, default=20)
     p.add_argument("--select_repeats", type=int, default=2)
     p.add_argument("--full", default=None, help="kernel,steps,param")
+    p.add_argument("--method", default="auto",
+                   help="proposal sampler method: auto (fused E-M), xla, "
+                        "heun (probability-flow ODE — a smooth deterministic "
+                        "pushforward like SNF's flow)")
     p.add_argument("--paired", action="store_true")
     p.add_argument("--paired_tags", nargs="*", default=None)
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
@@ -167,6 +175,8 @@ def main():
         train_long(args, model, loss_cfg, score_post, forward_model, fparams,
                    k_init, k_train)
 
+    mtag = "" if args.method == "auto" else f"_{args.method}"
+
     if args.sweep:
         params = load_params(model, k_init)
         for cfg_str in args.sweep_cfgs.split():
@@ -175,19 +185,20 @@ def main():
                 m, params, forward_model, fparams, score_post,
                 y_test[: args.select_ys], gt, k_eval,
                 n_samples_x=30000, n_repeats=args.select_repeats,
-                verbose=False,
+                verbose=False, method=args.method,
             )
-            print(f"SWEEP {tag}: sel-KL={kl:.4f} sel-NLPD={nlpd:.4f}",
+            print(f"SWEEP {tag}{mtag}: sel-KL={kl:.4f} sel-NLPD={nlpd:.4f}",
                   flush=True)
 
     if args.full:
         params = load_params(model, k_init)
         m, tag = build(model, energy, args.full)
+        tag += mtag
         out_dir = os.path.join("results", f"scatterometry_refined_{tag}")
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
             m, params, forward_model, fparams, score_post,
             y_test, gt, k_eval, n_samples_x=30000, n_repeats=10,
-            out_dir=out_dir, verbose=False,
+            out_dir=out_dir, verbose=False, method=args.method,
         )
         print(f"FULL {tag}: KL={kl:.4f} NLPD={nlpd:.4f} MSE={mse:.4f} "
               f"(results in {out_dir})", flush=True)
