@@ -76,6 +76,13 @@ class EnergyRefinedModel:
     # the sparse-histogram protocol (smooth proposal and true-like refined
     # samples miss different bins).
     refine_frac: float = 1.0
+    # Final single unadjusted-Langevin smoothing step (0 = off).  One ULA
+    # step convolves the population with ~N(-tau*grad E, 2*tau I); choosing
+    # sqrt(2*tau) ~ the evaluation histogram's bin width turns the O(tau)
+    # ULA bias into a principled kernel smoothing for the sparse-bin KL
+    # protocol (GT floor analysis in BENCHMARKS.md) while leaving W2/NLPD
+    # essentially untouched.
+    smooth_tau: float = 0.0
 
     def __post_init__(self):
         if self.kernel not in ("mh", "mala", "ula"):
@@ -101,28 +108,36 @@ class EnergyRefinedModel:
 
     def refine(self, key: Array, x: Array, y: Array) -> Array:
         """Run the exact-energy refinement chain on a sample population."""
-        if self.refine_steps <= 0:
+        if self.refine_steps <= 0 and self.smooth_tau <= 0.0:
             return x
-        key, k_frac = jax.random.split(key)
+        key, k_frac, k_smooth = jax.random.split(key, 3)
         ys_tiled = jnp.broadcast_to(y, (x.shape[0], y.shape[-1]))
         energy = lambda z: self.energy_fn(z, ys_tiled)
-        if self.kernel == "mala":
-            x_out, _ = mcmc.anneal_to_energy(
-                key, x, energy, self.refine_steps,
-                langevin_prop=True, lang_steps=self.lang_steps,
-                stepsize=self.stepsize,
-            )
-        elif self.kernel == "ula":
+        x_out = x
+        if self.refine_steps > 0:
+            if self.kernel == "mala":
+                x_out, _ = mcmc.anneal_to_energy(
+                    key, x, energy, self.refine_steps,
+                    langevin_prop=True, lang_steps=self.lang_steps,
+                    stepsize=self.stepsize,
+                )
+            elif self.kernel == "ula":
+                x_out, _, _, _ = mcmc.langevin_step(
+                    key, x, self.stepsize, energy, self.refine_steps
+                )
+            else:
+                x_out, _ = mcmc.anneal_to_energy(
+                    key, x, energy, self.refine_steps, noise_std=self.noise_std
+                )
+            if self.refine_frac < 1.0:
+                keep = (
+                    jax.random.uniform(k_frac, (x.shape[0], 1)) < self.refine_frac
+                )
+                x_out = jnp.where(keep, x_out, x)
+        if self.smooth_tau > 0.0:
             x_out, _, _, _ = mcmc.langevin_step(
-                key, x, self.stepsize, energy, self.refine_steps
+                k_smooth, x_out, self.smooth_tau, energy, 1
             )
-        else:
-            x_out, _ = mcmc.anneal_to_energy(
-                key, x, energy, self.refine_steps, noise_std=self.noise_std
-            )
-        if self.refine_frac < 1.0:
-            keep = jax.random.uniform(k_frac, (x.shape[0], 1)) < self.refine_frac
-            x_out = jnp.where(keep, x_out, x)
         return x_out
 
     def sample(

@@ -84,6 +84,20 @@ def test_refine_frac_samples_the_mixture(key):
     assert abs(std - 1.625**0.5) < 0.06, std
 
 
+def test_smooth_tau_convolves_population(key):
+    """One ULA step at stepsize tau on N(0,1) energy maps x -> (1-tau)x +
+    sqrt(2 tau) xi: variance (1-tau)^2 sigma^2 + 2 tau.  With refine_steps=0
+    the proposal stays the raw N(0, 1.5^2)."""
+    tau = 0.02
+    model = EnergyRefinedModel(
+        _FakeBase(), _energy, refine_steps=0, smooth_tau=tau
+    )
+    x = jax.jit(lambda k: model.sample(None, k, jnp.zeros(3), 8000))(key)
+    var = float(np.asarray(x).var())
+    expect = (1 - tau) ** 2 * 1.5**2 + 2 * tau
+    assert abs(var - expect) < 0.12, (var, expect)
+
+
 def test_zero_steps_is_base_sampler(key):
     model = EnergyRefinedModel(_FakeBase(), _energy, refine_steps=0)
     k_prop, _ = jax.random.split(key)

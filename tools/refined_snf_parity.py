@@ -129,20 +129,29 @@ def load_params(model, k_init):
 
 
 def build(model, energy, cfg_str):
-    """'kernel,steps,param[,frac]' -> model (refined or plain CDE).
+    """'kernel,steps,param[,frac[,tau]]' -> model (refined or plain CDE).
 
     frac<1 refines only that fraction of the population (the CDE/refined
-    mixture knob, models/refined.py refine_frac)."""
+    mixture knob, models/refined.py refine_frac); tau>0 appends one ULA
+    smoothing step of stepsize tau (noise std sqrt(2*tau))."""
     parts = cfg_str.split(",")
     kernel, steps, param = parts[0], int(parts[1]), parts[2]
     frac = float(parts[3]) if len(parts) > 3 else 1.0
-    if kernel == "none" or steps == 0:
+    tau = float(parts[4]) if len(parts) > 4 else 0.0
+    if (kernel == "none" or steps == 0) and tau == 0.0:
         return model, "cde"
+    if kernel == "none" or steps == 0:
+        refined = EnergyRefinedModel(model, energy, refine_steps=0,
+                                     smooth_tau=tau)
+        return refined, f"cde_tau{tau}"
     kw = ({"noise_std": float(param)} if kernel == "mh"
           else {"stepsize": float(param)})
     refined = EnergyRefinedModel(model, energy, refine_steps=steps,
-                                 kernel=kernel, refine_frac=frac, **kw)
-    tag = f"{kernel}{steps}_{param}" + (f"_f{frac}" if frac < 1.0 else "")
+                                 kernel=kernel, refine_frac=frac,
+                                 smooth_tau=tau, **kw)
+    tag = (f"{kernel}{steps}_{param}"
+           + (f"_f{frac}" if frac < 1.0 else "")
+           + (f"_tau{tau}" if tau > 0.0 else ""))
     return refined, tag
 
 
