@@ -176,6 +176,70 @@ def bench_dps() -> None:
     )
 
 
+def bench_refined() -> None:
+    """Flagship energy-refined sampler throughput (scatterometry): fused
+    Pallas E-M proposal (200 steps) + exact-energy XLA MH refinement
+    (20 steps on the surrogate posterior).  Measured round 3: the MH stage
+    adds ~1.4 ms to a ~50 ms call (<3%); a fused-Pallas MH refinement
+    stage was measured SLOWER at this step count (4.9 ms — kernel staging
+    dominates 20 steps; XLA inlines the short scan better), so the scan
+    path is the product path."""
+    from dmip_tpu.checkpoints import load_pytree
+    from dmip_tpu.models.refined import EnergyRefinedModel
+    from dmip_tpu.problems import scatterometry as scat
+
+    fwd, fparams = scat.load_forward_model()
+    model, _ = get_model_from_args(
+        {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [512, 512, 512]},
+        {"xdim": 3, "ydim": 23},
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "checkpoints", "cde_500k")
+    if os.path.exists(os.path.join(ckpt, "params.npz")):
+        params = load_pytree(ckpt, params, "params")
+    energy = lambda x, yt: scat.get_log_posterior(
+        x, fwd, fparams["a"], fparams["b"], yt, fparams["lambd_bd"]
+    )
+    refined = EnergyRefinedModel(model, energy, refine_steps=20,
+                                 kernel="mh", noise_std=0.2)
+    y = scat.noisy_forward(
+        jax.random.PRNGKey(1), fwd,
+        scat.sample_prior(jax.random.PRNGKey(2), 1, fparams["lambd_bd"]),
+        fparams["a"], fparams["b"],
+    )[0]
+
+    def measure(m):
+        sampler = jax.jit(lambda k: m.sample(params, k, y, N_SAMPLES, N_STEPS))
+        # two blocking warmup calls: the first post-init dispatch through the
+        # TPU tunnel can cost 100ms+ extra and pollutes a 5-rep average
+        jax.block_until_ready(sampler(key))
+        jax.block_until_ready(sampler(jax.random.fold_in(key, 999)))
+        t0 = time.time()
+        for r in range(N_REPS):
+            out = sampler(jax.random.fold_in(key, r))
+        jax.block_until_ready(out)
+        return N_REPS * N_SAMPLES / (time.time() - t0)
+
+    plain = measure(model)
+    ref = measure(refined)
+    print(
+        json.dumps(
+            {
+                "metric": "refined_posterior_samples_per_sec",
+                "value": ref,
+                "unit": "samples/s",
+                "vs_baseline": ref / plain,  # refinement overhead factor
+                "plain_samples_per_sec": plain,
+                "device": str(jax.devices()[0]),
+                "workload": f"{N_REPS} reps x {N_SAMPLES} samples x "
+                            f"({N_STEPS} E-M + 20 MH) steps",
+            }
+        )
+    )
+
+
 def main() -> None:
     model, _ = get_model_from_args(
         {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [512, 512, 512]},
@@ -235,5 +299,7 @@ if __name__ == "__main__":
         bench_train()
     elif "--dps" in sys.argv[1:]:
         bench_dps()
+    elif "--refined" in sys.argv[1:]:
+        bench_refined()
     else:
         main()
