@@ -98,6 +98,26 @@ def test_smooth_tau_convolves_population(key):
     assert abs(var - expect) < 0.12, (var, expect)
 
 
+def test_parity_tool_config_grammar():
+    """'kernel,steps,param[,frac[,tau]]' strings map onto the model knobs."""
+    import os, sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.refined_snf_parity import build
+
+    base = _FakeBase()
+    m, tag = build(base, _energy, "none,0,0")
+    assert m is base and tag == "cde"
+    m, tag = build(base, _energy, "none,0,0,1.0,0.0005")
+    assert m.refine_steps == 0 and m.smooth_tau == 0.0005
+    m, tag = build(base, _energy, "mh,20,0.2")
+    assert (m.kernel, m.refine_steps, m.noise_std) == ("mh", 20, 0.2)
+    assert tag == "mh20_0.2"
+    m, tag = build(base, _energy, "mala,5,0.005,0.7,0.001")
+    assert m.kernel == "mala" and m.stepsize == 0.005
+    assert m.refine_frac == 0.7 and m.smooth_tau == 0.001
+    assert tag == "mala5_0.005_f0.7_tau0.001"
+
+
 def test_zero_steps_is_base_sampler(key):
     model = EnergyRefinedModel(_FakeBase(), _energy, refine_steps=0)
     k_prop, _ = jax.random.split(key)

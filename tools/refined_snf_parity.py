@@ -121,10 +121,15 @@ def train_long(args, model, loss_cfg, score_post, forward_model, fparams,
     )
 
 
-def load_params(model, k_init):
-    # checkpoint_xlong: the 500k-epoch cosine retrain (KL 0.624, round 2)
+def load_params(model, k_init, ckpt_dir=None):
+    """Proposal checkpoint: default is checkpoint_xlong, the 500k-epoch
+    cosine retrain (KL 0.624, round 2).  ``ckpt_dir`` overrides — e.g.
+    ``benchmarks/checkpoints/cde_20k_best`` (the reference-schedule grid
+    winner, same 512x3 architecture) to measure refinement on a 25x
+    cheaper proposal."""
+    ckpt_dir = ckpt_dir or os.path.join(TRIAL_DIR, "checkpoint_xlong")
     return checkpoints.load_checkpoint(
-        os.path.join(TRIAL_DIR, "checkpoint_xlong"), model.init(k_init), None
+        ckpt_dir, model.init(k_init), None
     )["params"]
 
 
@@ -174,6 +179,10 @@ def main():
     p.add_argument("--paired", action="store_true")
     p.add_argument("--paired_tags", nargs="*", default=None)
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="proposal checkpoint dir (default: the 500k-epoch "
+                        "checkpoint_xlong; e.g. benchmarks/checkpoints/"
+                        "cde_20k_best for the reference-schedule proposal)")
     args = p.parse_args()
 
     (forward_model, fparams, y_test, score_post, energy, model, loss_cfg,
@@ -186,8 +195,12 @@ def main():
 
     mtag = "" if args.method == "auto" else f"_{args.method}"
 
+    ctag = ""
+    if args.ckpt_dir:
+        ctag = "_" + os.path.basename(os.path.normpath(args.ckpt_dir))
+
     if args.sweep:
-        params = load_params(model, k_init)
+        params = load_params(model, k_init, args.ckpt_dir)
         for cfg_str in args.sweep_cfgs.split():
             m, tag = build(model, energy, cfg_str)
             kl, nlpd, _ = evaluate.evaluate_scatterometry(
@@ -196,13 +209,13 @@ def main():
                 n_samples_x=30000, n_repeats=args.select_repeats,
                 verbose=False, method=args.method,
             )
-            print(f"SWEEP {tag}{mtag}: sel-KL={kl:.4f} sel-NLPD={nlpd:.4f}",
-                  flush=True)
+            print(f"SWEEP {tag}{mtag}{ctag}: sel-KL={kl:.4f} "
+                  f"sel-NLPD={nlpd:.4f}", flush=True)
 
     if args.full:
-        params = load_params(model, k_init)
+        params = load_params(model, k_init, args.ckpt_dir)
         m, tag = build(model, energy, args.full)
-        tag += mtag
+        tag += mtag + ctag
         out_dir = os.path.join("results", f"scatterometry_refined_{tag}")
         kl, nlpd, mse = evaluate.evaluate_scatterometry(
             m, params, forward_model, fparams, score_post,
@@ -213,7 +226,8 @@ def main():
               f"(results in {out_dir})", flush=True)
 
     if args.paired:
-        tag = build(model, energy, args.full)[1] if args.full else None
+        tag = (build(model, energy, args.full)[1] + mtag + ctag
+               if args.full else None)
         paired_report(tag)
 
     if args.paired_tags:
