@@ -127,7 +127,12 @@ def load_params(model, k_init, ckpt_dir=None):
     ``benchmarks/checkpoints/cde_20k_best`` (the reference-schedule grid
     winner, same 512x3 architecture) to measure refinement on a 25x
     cheaper proposal."""
-    ckpt_dir = ckpt_dir or os.path.join(TRIAL_DIR, "checkpoint_xlong")
+    if ckpt_dir is None:
+        ckpt_dir = os.path.join(TRIAL_DIR, "checkpoint_xlong")
+        if not os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
+            # grid_search_results/ is gitignored and wiped between rounds;
+            # the same params are archived durably in benchmarks/checkpoints
+            ckpt_dir = os.path.join("benchmarks", "checkpoints", "cde_500k")
     return checkpoints.load_checkpoint(
         ckpt_dir, model.init(k_init), None
     )["params"]
