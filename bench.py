@@ -256,8 +256,10 @@ def main() -> None:
         lambda k, y: model.sample(params, k, y, N_SAMPLES, N_STEPS)
     )
 
-    # warmup / compile
+    # warmup / compile — two blocking calls: the first post-init dispatch
+    # through the TPU tunnel costs 100ms+ extra (see bench_refined)
     jax.block_until_ready(sampler(key, ys[0]))
+    jax.block_until_ready(sampler(jax.random.fold_in(key, 999), ys[0]))
 
     t0 = time.time()
     for r in range(N_REPS):
