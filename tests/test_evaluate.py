@@ -195,6 +195,44 @@ def test_evaluate_scatterometry_sharded_matches_sequential(key, tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_evaluate_scatterometry_refined_sharded_matches_sequential(key):
+    """Flagship interplay: the EnergyRefinedModel (fused-proposal surface +
+    lax.scan MH refinement) through the condition-sharded eval path must
+    match the sequential walk exactly, like the plain model does."""
+    from dmip_tpu.evaluate import evaluate_scatterometry
+    from dmip_tpu.models.refined import EnergyRefinedModel
+    from dmip_tpu.parallel.mesh import get_mesh
+    from dmip_tpu.problems.scatterometry import get_log_posterior
+
+    model = CDE(3, 4, (16, 16))
+    params = model.init(key)
+    fwd = lambda x: jnp.tanh(x @ jnp.ones((3, 4)) * 0.3)
+    fparams = {"a": 0.2, "b": 0.01, "lambd_bd": 1000.0}
+    energy = lambda x, yt: get_log_posterior(
+        x, fwd, fparams["a"], fparams["b"], yt, fparams["lambd_bd"]
+    )
+    refined = EnergyRefinedModel(model, energy, refine_steps=4,
+                                 kernel="mh", noise_std=0.3)
+    score_post = lambda x, y: -x
+    ys = fwd(jax.random.normal(key, (4, 3)))
+    rng = np.random.default_rng(0)
+    gt = rng.standard_normal((4, 2, 128, 3)).astype(np.float32) * 0.3
+
+    common = dict(
+        n_samples_x=128, n_repeats=2, num_steps=8, nbins=10, verbose=False,
+    )
+    kd = jax.random.fold_in(key, 11)
+    seq = evaluate_scatterometry(
+        refined, params, fwd, fparams, score_post, ys,
+        lambda i, j: gt[i, j], kd, mesh=None, **common,
+    )
+    shd = evaluate_scatterometry(
+        refined, params, fwd, fparams, score_post, ys,
+        lambda i, j: gt[i, j], kd, mesh=get_mesh(8), **common,
+    )
+    np.testing.assert_allclose(seq, shd, rtol=1e-4)
+
+
 def test_evaluate_scatterometry_gt_size_differs_from_n_samples_x(key, tmp_path):
     """GT repeats may carry a different sample count than n_samples_x (full
     30k MCMC halves scored against a reduced-eval run): y must tile per
