@@ -75,8 +75,11 @@ def _measure_train(loss_name: str, extra_cfg: dict) -> float:
     )
     params = model.init(key)
     opt_state = optimizer.init(params)
-    # warmup / compile
+    # warmup / compile — two blocking calls (first post-init dispatch
+    # through the tunnel costs 100ms+; see bench_refined)
     out = epoch_fn(params, opt_state, key, 0)
+    jax.block_until_ready(out)
+    out = epoch_fn(out[0], out[1], key, 0)
     jax.block_until_ready(out)
 
     t0 = time.time()
