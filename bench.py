@@ -153,7 +153,9 @@ def bench_dps() -> None:
             lambda k: ag.sample(params, k, y, N_SAMPLES, N_STEPS,
                                 method=method)
         )
+        # two blocking warmups (first post-init dispatch costs 100ms+)
         jax.block_until_ready(sampler(key))
+        jax.block_until_ready(sampler(jax.random.fold_in(key, 999)))
         t0 = time.time()
         for r in range(N_REPS):
             out = sampler(jax.random.fold_in(key, r))
