@@ -98,6 +98,24 @@ def test_smooth_tau_convolves_population(key):
     assert abs(var - expect) < 0.12, (var, expect)
 
 
+def test_parity_tool_ckpt_fallback(monkeypatch, tmp_path):
+    """When the gitignored checkpoint_xlong is absent, load_params falls
+    back to the durable benchmarks/checkpoints/cde_500k archive."""
+    import os, sys
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, repo)
+    import tools.refined_snf_parity as rsp
+    from dmip_tpu.train import get_model_from_args
+
+    model, _ = get_model_from_args(dict(rsp.TRIAL_CFG),
+                                   {"xdim": 3, "ydim": 23})
+    monkeypatch.chdir(repo)
+    monkeypatch.setattr(rsp, "TRIAL_DIR", str(tmp_path / "missing"))
+    params = rsp.load_params(model, jax.random.PRNGKey(0))
+    leaves = jax.tree_util.tree_leaves(params)
+    assert leaves and leaves[0].shape[0] == 27  # [x(3), y(23), t(1)] input
+
+
 def test_parity_tool_config_grammar():
     """'kernel,steps,param[,frac[,tau]]' strings map onto the model knobs."""
     import os, sys
