@@ -138,6 +138,47 @@ def load_params(model, k_init, ckpt_dir=None):
     )["params"]
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class PriorProposal:
+    """Duck-types the sampling surface but draws from the smoothed-uniform
+    prior (the GT chains' own init distribution) instead of the reverse
+    SDE; apply_a/sde delegate to the CDE so score-MSE stays defined.
+    The --proposal prior control measures how much the diffusion proposal
+    buys over refining prior samples directly (BENCHMARKS.md: 1000
+    prior-start MH steps still trail the CDE-proposal band)."""
+
+    cde: object
+    lambd_bd: float
+
+    @property
+    def sde(self):
+        return self.cde.sde
+
+    @property
+    def xdim(self):
+        return self.cde.xdim
+
+    @property
+    def ydim(self):
+        return self.cde.ydim
+
+    def init(self, key):
+        return self.cde.init(key)
+
+    def apply_a(self, params, z, cond, t):
+        return self.cde.apply_a(params, z, cond, t)
+
+    def sample(self, params, key, y, num_samples=2000, num_steps=200,
+               mean=0.0, std=1.0, dtype=None, method="auto"):
+        import jax.numpy as jnp
+
+        out = scat.sample_prior(key, num_samples, self.lambd_bd)
+        return out.astype(dtype) if dtype is not None else out
+
+
 def build(model, energy, cfg_str):
     """'kernel,steps,param[,frac[,tau]]' -> model (refined or plain CDE).
 
@@ -184,6 +225,10 @@ def main():
     p.add_argument("--paired", action="store_true")
     p.add_argument("--paired_tags", nargs="*", default=None)
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
+    p.add_argument("--proposal", default="cde", choices=["cde", "prior"],
+                   help="refinement proposal: the trained CDE sampler "
+                        "(default) or raw smoothed-uniform prior samples "
+                        "(the control experiment in BENCHMARKS.md)")
     p.add_argument("--ckpt_dir", default=None,
                    help="proposal checkpoint dir (default: the 500k-epoch "
                         "checkpoint_xlong; e.g. benchmarks/checkpoints/"
@@ -199,6 +244,9 @@ def main():
                    k_init, k_train)
 
     mtag = "" if args.method == "auto" else f"_{args.method}"
+    if args.proposal == "prior":
+        mtag += "_prior"
+        model = PriorProposal(model, fparams["lambd_bd"])
 
     ctag = ""
     if args.ckpt_dir:
