@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import dataclasses
 import os
 import sys
 
@@ -138,9 +139,6 @@ def load_params(model, k_init, ckpt_dir=None):
     )["params"]
 
 
-import dataclasses
-
-
 @dataclasses.dataclass(frozen=True, eq=False)
 class PriorProposal:
     """Duck-types the sampling surface but draws from the smoothed-uniform
@@ -173,8 +171,6 @@ class PriorProposal:
 
     def sample(self, params, key, y, num_samples=2000, num_steps=200,
                mean=0.0, std=1.0, dtype=None, method="auto"):
-        import jax.numpy as jnp
-
         out = scat.sample_prior(key, num_samples, self.lambd_bd)
         return out.astype(dtype) if dtype is not None else out
 
