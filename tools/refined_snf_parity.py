@@ -22,6 +22,17 @@ Modes (composable):
                     tags (results/scatterometry_refined_TAG/results.csv)
                     without re-running the full protocol — decouples the
                     expensive eval from the baselines rebuild in the queue
+  --ckpt_dir DIR    proposal checkpoint override (e.g. benchmarks/
+                    checkpoints/cde_20k_best, the reference-budget row)
+  --proposal prior  raw smoothed-uniform prior samples as the proposal
+                    (the control: 1000 prior-start MH steps still trail
+                    the CDE-proposal band)
+  --method heun     probability-flow ODE proposal (measured negative)
+
+Config grammar: 'kernel,steps,param[,frac[,tau]]' — kernel mh/mala/ula,
+param = noise_std (mh) or stepsize (mala/ula), frac<1 = partial-refinement
+mixture, tau>0 = one final ULA smoothing step (both measured negatives,
+BENCHMARKS.md).
 
 Usage: python tools/refined_snf_parity.py --sweep
        python tools/refined_snf_parity.py --full mh,10,0.1 --paired
