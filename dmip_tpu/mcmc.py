@@ -130,6 +130,79 @@ def anneal_to_energy(
     return x_out, e_out - e0
 
 
+def annealed_mh(
+    key: Array,
+    x_curr: Array,
+    energy: EnergyFn,
+    steps: int,
+    noise_std: float = 0.1,
+    lambda0: float = 1.0,
+    target_acc: float | None = None,
+    adapt_rate: float = 1.0,
+) -> Tuple[Array, dict]:
+    """Random-walk MH chain whose target ANNEALS through the interpolated
+    energies ``lam * E(x) + (1 - lam) * ||x||^2 / 2`` — the SNF stochastic
+    layers' own schedule (reference models/SNF.py:220-231), here applied
+    within one chain: ``lam`` runs linearly from ``lambda0`` to 1.0 across
+    the steps (the last step always targets the exact posterior energy).
+    ``lambda0=1.0`` degenerates to a fixed-target chain equivalent in
+    distribution to :func:`anneal_to_energy`.
+
+    ``target_acc`` (e.g. 0.4) turns on per-call proposal adaptation: after
+    every step the shared log proposal-std moves by
+    ``adapt_rate / (t + 1) * (acc_rate - target_acc)`` (diminishing
+    Robbins-Monro adaptation; with 30k parallel chains the per-step
+    acceptance-rate estimate is essentially noise-free, so a handful of
+    steps suffices to land near the target).  The adapted std is shared by
+    the whole population — a per-CONDITION tuning knob, since each call
+    refines one condition's population.
+
+    Both posterior and prior energies are carried so each step costs one
+    posterior-energy evaluation, like :func:`anneal_to_energy`'s
+    carried-energy optimization (the lam-blend is recomputed per step from
+    the carried components).
+
+    Returns ``(x_final, info)`` with ``info['acc_rate']`` the per-step mean
+    acceptance (steps,) and ``info['noise_std']`` the final proposal std.
+    """
+    e_post = energy(x_curr)
+    e_prior = 0.5 * jnp.sum(x_curr**2, axis=1)
+    lambdas = (
+        jnp.linspace(lambda0, 1.0, steps)
+        if steps > 1
+        else jnp.ones((steps,), x_curr.dtype)
+    )
+
+    def step(carry, inp):
+        k, lam, t = inp
+        x, e_post, e_prior, log_std = carry
+        kn, ka = jax.random.split(k)
+        sigma = jnp.exp(log_std)
+        x_prop = x + sigma * jax.random.normal(kn, x.shape, x.dtype)
+        ep_prop = energy(x_prop)
+        epr_prop = 0.5 * jnp.sum(x_prop**2, axis=1)
+        log_ratio = (lam * e_post + (1.0 - lam) * e_prior) - (
+            lam * ep_prop + (1.0 - lam) * epr_prop
+        )
+        r = jax.random.uniform(ka, ep_prop.shape, x.dtype)
+        acc = (r < jnp.exp(log_ratio)).astype(x.dtype)
+        x_next = (1.0 - acc)[:, None] * x + acc[:, None] * x_prop
+        e_post_next = (1.0 - acc) * e_post + acc * ep_prop
+        e_prior_next = (1.0 - acc) * e_prior + acc * epr_prop
+        acc_rate = jnp.mean(acc)
+        if target_acc is not None:
+            log_std = log_std + adapt_rate / (t + 1.0) * (acc_rate - target_acc)
+        return (x_next, e_post_next, e_prior_next, log_std), acc_rate
+
+    keys = jax.random.split(key, steps)
+    init = (x_curr, e_post, e_prior,
+            jnp.asarray(jnp.log(noise_std), x_curr.dtype))
+    (x_out, _, _, log_std), acc_rates = jax.lax.scan(
+        step, init, (keys, lambdas, jnp.arange(steps, dtype=x_curr.dtype))
+    )
+    return x_out, {"acc_rate": acc_rates, "noise_std": jnp.exp(log_std)}
+
+
 def interpolated_energy(
     ys: Array, lambd: float, neg_log_posterior: Callable[[Array, Array], Array]
 ) -> EnergyFn:

@@ -50,9 +50,10 @@ class EnergyRefinedModel:
     models/SNF.py:183-197), or UNADJUSTED Langevin (``kernel='ula'``, the
     reference's Langevin layer run without the MH correction,
     models/SNF.py:286-300).  ULA's stationary distribution is over-dispersed
-    by O(stepsize) — a principled smoothing knob for the sparse-histogram
-    KL protocol where fitted densities score below true posterior samples
-    (see the GT-vs-GT floor analysis in BENCHMARKS.md).
+    by O(stepsize); it was kept as a probe of the sparse-histogram KL
+    protocol (where fitted densities score below true posterior samples, see
+    the GT-vs-GT floor analysis in BENCHMARKS.md) and MEASURED WORSE at every
+    stepsize — see that file's "Smoothing knobs" negative-results section.
     ``refine_steps=0`` degenerates to the base model.
 
     Duck-types the evaluation surface (``sde`` / ``xdim`` / ``ydim`` /
@@ -76,12 +77,24 @@ class EnergyRefinedModel:
     # the sparse-histogram protocol (smooth proposal and true-like refined
     # samples miss different bins).
     refine_frac: float = 1.0
+    # Annealed-lambda refinement (kernel='mh' only): when < 1.0, the chain's
+    # target anneals lam: anneal_from -> 1 through the SNF interpolation
+    # lam*E + (1-lam)*||x||^2/2 (reference models/SNF.py:220-231) instead of
+    # jumping straight to lam=1 — SNF's own mechanism applied to the
+    # refinement chain (round-3 verdict's untried lever).
+    anneal_from: float = 1.0
+    # Acceptance-rate-targeted proposal adaptation (kernel='mh' only):
+    # when > 0, the proposal std adapts per CONDITION toward this mean
+    # acceptance rate via diminishing Robbins-Monro on log-sigma
+    # (mcmc.annealed_mh), starting from noise_std.
+    target_acc: float = 0.0
     # Final single unadjusted-Langevin smoothing step (0 = off).  One ULA
-    # step convolves the population with ~N(-tau*grad E, 2*tau I); choosing
-    # sqrt(2*tau) ~ the evaluation histogram's bin width turns the O(tau)
-    # ULA bias into a principled kernel smoothing for the sparse-bin KL
-    # protocol (GT floor analysis in BENCHMARKS.md) while leaving W2/NLPD
-    # essentially untouched.
+    # step convolves the population with ~N(-tau*grad E, 2*tau I).  This is a
+    # metric-directed probe of the sparse 75^3-histogram KL protocol (tau is
+    # chosen against the evaluation bin width, not against any posterior
+    # property), and it was MEASURED NEGATIVE at every tau — see the
+    # "Smoothing knobs" negative-results section of BENCHMARKS.md.  It stays
+    # available (default off) to keep that bound reproducible.
     smooth_tau: float = 0.0
 
     def __post_init__(self):
@@ -124,6 +137,12 @@ class EnergyRefinedModel:
             elif self.kernel == "ula":
                 x_out, _, _, _ = mcmc.langevin_step(
                     key, x, self.stepsize, energy, self.refine_steps
+                )
+            elif self.anneal_from < 1.0 or self.target_acc > 0.0:
+                x_out, _ = mcmc.annealed_mh(
+                    key, x, energy, self.refine_steps,
+                    noise_std=self.noise_std, lambda0=self.anneal_from,
+                    target_acc=self.target_acc if self.target_acc > 0 else None,
                 )
             else:
                 x_out, _ = mcmc.anneal_to_energy(

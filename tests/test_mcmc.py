@@ -79,6 +79,55 @@ def test_interpolated_energy_endpoints():
     np.testing.assert_allclose(eh, 0.5 * 7.0 + 0.5 * 1.0)
 
 
+def test_annealed_mh_fixed_lambda_targets_standard_normal(key):
+    """lambda0=1 degenerates to a plain MH chain on the posterior energy:
+    a long run from a bad init must produce N(0, I) samples."""
+    k0, kr = jax.random.split(key)
+    x0 = jax.random.uniform(k0, (20_000, 2)) * 6.0 - 3.0
+    x, info = jax.jit(
+        lambda k, x: mcmc.annealed_mh(k, x, _gauss_energy, 500, noise_std=0.5)
+    )(kr, x0)
+    xs = np.asarray(x)
+    np.testing.assert_allclose(xs.mean(0), 0.0, atol=0.03)
+    np.testing.assert_allclose(np.cov(xs.T), np.eye(2), atol=0.05)
+    assert info["acc_rate"].shape == (500,)
+    # no adaptation requested: the proposal std is untouched
+    np.testing.assert_allclose(float(info["noise_std"]), 0.5, rtol=1e-6)
+
+
+def test_annealed_mh_schedule_targets_final_energy(key):
+    """Annealing lam 0 -> 1 from prior samples must land on the posterior:
+    target N(m, 0.5 I) with m=(2,2); prior N(0,I) samples anneal across."""
+    m = jnp.array([2.0, 2.0])
+    energy = lambda x: jnp.sum((x - m) ** 2, axis=1)  # N(m, 0.5 I)
+    k0, kr = jax.random.split(key)
+    x0 = jax.random.normal(k0, (20_000, 2))  # exact lam=0 target
+    x, _ = jax.jit(
+        lambda k, x: mcmc.annealed_mh(
+            k, x, energy, 400, noise_std=0.4, lambda0=0.0
+        )
+    )(kr, x0)
+    xs = np.asarray(x)
+    np.testing.assert_allclose(xs.mean(0), np.asarray(m), atol=0.05)
+    np.testing.assert_allclose(np.cov(xs.T), 0.5 * np.eye(2), atol=0.05)
+
+
+def test_annealed_mh_adapts_to_target_acceptance(key):
+    """Robbins-Monro adaptation: starting from a far-too-large proposal std,
+    the late-chain acceptance rate must converge near the target."""
+    k0, kr = jax.random.split(key)
+    x0 = jax.random.normal(k0, (10_000, 2))
+    _, info = jax.jit(
+        lambda k, x: mcmc.annealed_mh(
+            k, x, _gauss_energy, 200, noise_std=5.0, target_acc=0.4
+        )
+    )(kr, x0)
+    late_acc = float(np.mean(np.asarray(info["acc_rate"])[-20:]))
+    assert abs(late_acc - 0.4) < 0.08
+    # sigma moved down from the bad init
+    assert float(info["noise_std"]) < 5.0
+
+
 def test_scatterometry_mcmc_stays_in_box(key):
     """MH on the scatterometry energy: samples concentrate in [-1,1]^3."""
     from dmip_tpu.problems import scatterometry as scat

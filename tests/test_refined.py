@@ -72,6 +72,31 @@ def test_ula_kernel_converges_overdispersed(key):
     assert std > 1.03  # the deliberate ULA over-dispersion is present
 
 
+def test_annealed_refinement_corrects_proposal_scale(key):
+    """anneal_from < 1 routes through mcmc.annealed_mh (SNF's lambda
+    schedule): the chain still ends at lam=1, so the over-dispersed proposal
+    is pulled onto the exact target.  (The lam<1 interpolation mixes in the
+    standard-normal prior — which here EQUALS the target, so the endpoint
+    statistics are the same as the plain chain's.)"""
+    model = EnergyRefinedModel(
+        _FakeBase(), _energy, refine_steps=200, kernel="mh", noise_std=0.4,
+        anneal_from=0.5,
+    )
+    x = jax.jit(lambda k: model.sample(None, k, jnp.zeros(3), 8000))(key)
+    assert abs(float(np.asarray(x).std()) - 1.0) < 0.08
+
+
+def test_target_acc_adaptation_still_corrects(key):
+    """Acceptance-targeted adaptation from a far-too-wide proposal std must
+    still land the population on the exact target."""
+    model = EnergyRefinedModel(
+        _FakeBase(), _energy, refine_steps=200, kernel="mh", noise_std=4.0,
+        target_acc=0.4,
+    )
+    x = jax.jit(lambda k: model.sample(None, k, jnp.zeros(3), 8000))(key)
+    assert abs(float(np.asarray(x).std()) - 1.0) < 0.08
+
+
 def test_refine_frac_samples_the_mixture(key):
     """frac=0.5 keeps half the raw N(0,1.5^2) proposal and refines half to
     N(0,1): population variance ~ 0.5*2.25 + 0.5*1.0 = 1.625."""
@@ -134,6 +159,11 @@ def test_parity_tool_config_grammar():
     assert m.kernel == "mala" and m.stepsize == 0.005
     assert m.refine_frac == 0.7 and m.smooth_tau == 0.001
     assert tag == "mala5_0.005_f0.7_tau0.001"
+    m, tag = build(base, _energy, "mh,20,0.2,anneal=0.5,acc=0.4")
+    assert m.anneal_from == 0.5 and m.target_acc == 0.4
+    assert m.refine_frac == 1.0 and tag == "mh20_0.2_a0.5_acc0.4"
+    with pytest.raises(ValueError):
+        build(base, _energy, "mh,20,0.2,bogus=1")
 
 
 def test_zero_steps_is_base_sampler(key):

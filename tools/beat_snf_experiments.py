@@ -26,21 +26,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import numpy as np
-
 from dmip_tpu import checkpoints, data, evaluate, train
-from dmip_tpu.problems import scatterometry as scat
+from tools import common
 
-TRIAL_DIR = os.path.join(
-    "grid_search_results", "scatterometry_full",
-    "cScoreFPE", "PINNLoss", "L2", "L1", "lam:0.01", "lam2:0.01",
-)
-TRIAL_CFG = {
-    "model": "CDE", "loss_fn": "PINNLoss", "pde_loss": "cScoreFPE",
-    "pde_metric": "L2", "ic_metric": "L1", "lam": 0.01, "lam2": 0.01,
-    "hidden_layers": [512, 512, 512],
-}
+TRIAL_DIR = common.BEST_TRIAL_DIR
+TRIAL_CFG = common.BEST_TRIAL_CFG
 
 
 def main():
@@ -70,18 +60,11 @@ def main():
         # keep differently-sized checkpoints from colliding in TRIAL_DIR
         args.ckpt_name = f"checkpoint_long_h{args.hidden.replace(',', 'x')}"
 
-    forward_model, fparams = scat.load_forward_model()
-    key = jax.random.PRNGKey(13)
-    k_data, k_init, k_train, k_eval = jax.random.split(key, 4)
-    _, y_test = data.generate_dataset_scatterometry(
-        k_data, forward_model, fparams["a"], fparams["b"], size=100
-    )
-    score_post = scat.score_posterior(
-        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
-    )
-    gt_loader = lambda i, j: np.load(
-        os.path.join(args.gt_dir, str(i), f"{j}.npy")
-    )
+    s = common.scat_setup()
+    forward_model, fparams = s.forward_model, s.fparams
+    y_test, score_post = s.y_test, s.score_post
+    k_init, k_train, k_eval = s.k_init, s.k_train, s.k_eval
+    gt_loader = common.gt_loader(args.gt_dir)
     trial_cfg = dict(TRIAL_CFG)
     if args.hidden:
         trial_cfg["hidden_layers"] = [int(v) for v in args.hidden.split(",")]
@@ -89,9 +72,12 @@ def main():
     template = model.init(k_init)
 
     def load_20k():
-        return checkpoints.load_checkpoint(
-            os.path.join(TRIAL_DIR, "checkpoint_full"), template, None
-        )["params"]
+        # same trial: cde_20k_best is the archived grid winner
+        # (PINNLoss/cScoreFPE/L2 ic L1 lam=lam2=0.01 at 20k epochs)
+        return common.resolve_checkpoint(template, [
+            os.path.join(TRIAL_DIR, "checkpoint_full"),
+            os.path.join("benchmarks", "checkpoints", "cde_20k_best"),
+        ], label="20k checkpoint")[0]
 
     if "floor" in exps:
         params = load_20k()

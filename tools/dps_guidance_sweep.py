@@ -24,13 +24,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from dmip_tpu import checkpoints, data, evaluate, train
+from dmip_tpu import evaluate, train
 from dmip_tpu.models import AnalyticGuidanceDPS
 from dmip_tpu.problems import scatterometry as scat
+from tools import common
 
 
 def main():
@@ -64,28 +63,21 @@ def main():
                         "output)")
     args = p.parse_args()
 
-    forward_model, fparams = scat.load_forward_model()
+    s = common.scat_setup()
+    forward_model, fparams = s.forward_model, s.fparams
+    y_test, score_post, k_eval = s.y_test, s.score_post, s.k_eval
     surr_weights = scat.load_surrogate_weights()
-    key = jax.random.PRNGKey(13)
-    k_data, k_init, _k_train, k_eval = jax.random.split(key, 4)
-    _, y_test = data.generate_dataset_scatterometry(
-        k_data, forward_model, fparams["a"], fparams["b"], size=100
-    )
-    score_post = scat.score_posterior(
-        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
-    )
-    gt_loader = lambda i, j: np.load(
-        os.path.join(args.gt_dir, str(i), f"{j}.npy")
-    )
+    gt_loader = common.gt_loader(args.gt_dir)
 
     model, _ = train.get_model_from_args(
         {"model": "Posterior", "lam": 1.0, "hidden_layers": [512, 512, 512]},
         fparams,
     )
-    template = model.init(k_init)
-    params = checkpoints.load_checkpoint(
-        os.path.join(args.train_dir, "checkpoint"), template, None
-    )["params"]
+    params, _ = common.resolve_checkpoint(
+        model.init(s.k_init),
+        [os.path.join(args.train_dir, "checkpoint")],
+        label="DPS prior checkpoint",
+    )
 
     # 1. prior-net sanity: reverse-SDE samples of the unconditional prior.
     from dmip_tpu import nets, samplers

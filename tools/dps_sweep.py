@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from dmip_tpu import checkpoints, data, ensemble, evaluate, train
-from dmip_tpu.problems import scatterometry as scat
+from tools import common
 
 
 def main():
@@ -41,15 +41,10 @@ def main():
     args = p.parse_args()
 
     lams = [float(v) for v in args.lams.split(",")]
-    forward_model, fparams = scat.load_forward_model()
-    key = jax.random.PRNGKey(13)
-    k_data, k_init, k_train, k_eval = jax.random.split(key, 4)
-    _, y_test = data.generate_dataset_scatterometry(
-        k_data, forward_model, fparams["a"], fparams["b"], size=100
-    )
-    score_post = scat.score_posterior(
-        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
-    )
+    s = common.scat_setup()
+    forward_model, fparams = s.forward_model, s.fparams
+    y_test, score_post = s.y_test, s.score_post
+    k_init, k_train, k_eval = s.k_init, s.k_train, s.k_eval
 
     model, cfg = train.get_model_from_args(
         {"model": "Posterior", "lam": 1.0, "hidden_layers": [512, 512, 512]},
@@ -75,9 +70,7 @@ def main():
     )
     print(f"ensemble train: {time.time() - t0:.0f}s", flush=True)
 
-    gt_loader = lambda i, j: np.load(
-        os.path.join(args.gt_dir, str(i), f"{j}.npy")
-    )
+    gt_loader = common.gt_loader(args.gt_dir)
     scores = []
     for i, lam in enumerate(lams):
         params = ensemble.trial_params(jax.device_get(ens), i)

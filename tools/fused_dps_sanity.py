@@ -25,9 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from dmip_tpu import checkpoints, data, nets, train
+from dmip_tpu import train
 from dmip_tpu.models import AnalyticGuidanceDPS
 from dmip_tpu.problems import scatterometry as scat
+from tools import common
 
 
 def main():
@@ -39,20 +40,19 @@ def main():
     p.add_argument("--n_samples", type=int, default=30000)
     args = p.parse_args()
 
-    forward_model, fparams = scat.load_forward_model()
+    s = common.scat_setup(n_ys=args.n_ys)
+    forward_model, fparams = s.forward_model, s.fparams
     model, _ = train.get_model_from_args(
         {"model": "Posterior", "lam": 1.0, "hidden_layers": [512, 512, 512]},
         fparams,
     )
-    template = model.init(jax.random.PRNGKey(0))
-    params = checkpoints.load_checkpoint(
-        os.path.join(args.train_dir, "checkpoint"), template, None
-    )["params"]
-
-    key = jax.random.PRNGKey(13)
-    _, y_test = data.generate_dataset_scatterometry(
-        key, forward_model, fparams["a"], fparams["b"], size=args.n_ys
+    params, _ = common.resolve_checkpoint(
+        model.init(jax.random.PRNGKey(0)),
+        [os.path.join(args.train_dir, "checkpoint")],
+        label="DPS prior checkpoint",
     )
+    key = jax.random.PRNGKey(common.RANDOM_STATE)
+    y_test = s.y_test
 
     samples = {}
     floor_samples = []  # xla re-runs with an independent key, per condition
@@ -98,7 +98,12 @@ def main():
     # the GT-vs-GT floor at 30k samples is ~0.003).
     from dmip_tpu.evaluate import sliced_w2
 
-    worst_ratio, worst, worst_floor = 0.0, 0.0, 0.0
+    # A condition fails if BOTH its cross-sampler W2 exceeds the absolute
+    # GT-floor-scale 0.02 AND it is >2.5x its own same-sampler floor
+    # (independent-noise re-run).  Judged per condition: a tiny-W2 condition
+    # with a big ratio must not mask a genuine mismatch elsewhere.
+    worst_ratio, worst = 0.0, 0.0
+    failures = []
     for i in range(args.n_ys):
         w2 = float(sliced_w2(jax.random.PRNGKey(99),
                              samples["xla"][i], samples["pallas"][i]))
@@ -108,17 +113,20 @@ def main():
         print(f"y{i}: sliced-W2(xla, pallas) = {w2:.5f}  "
               f"xla-vs-xla floor = {w2_floor:.5f}  ratio = {ratio:.2f}",
               flush=True)
-        if ratio > worst_ratio:
-            worst_ratio, worst, worst_floor = ratio, w2, w2_floor
-    # Pass if the cross-sampler W2 is within 2.5x the same-sampler floor
-    # (independent-noise re-run) or below the absolute GT-floor-scale 0.02.
-    if worst > 0.02 and worst_ratio > 2.5:
-        print(f"MISMATCH: worst sliced-W2 {worst:.4f} is {worst_ratio:.1f}x "
-              f"the same-sampler floor {worst_floor:.4f} (and > 0.02)",
-              flush=True)
+        worst_ratio = max(worst_ratio, ratio)
+        worst = max(worst, w2)
+        if w2 > 0.02 and ratio > 2.5:
+            failures.append(
+                f"y{i}: sliced-W2 {w2:.4f} is {ratio:.1f}x its "
+                f"same-sampler floor {w2_floor:.4f} (and > 0.02)"
+            )
+    if failures:
+        for msg in failures:
+            print(f"MISMATCH: {msg}", flush=True)
         sys.exit(1)
-    print(f"OK: fused and XLA samplers agree (worst sliced-W2 {worst:.5f}, "
-          f"{worst_ratio:.2f}x the xla-vs-xla floor)", flush=True)
+    print(f"OK: fused and XLA samplers agree on every condition "
+          f"(worst sliced-W2 {worst:.5f}, worst ratio {worst_ratio:.2f}x)",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -24,11 +24,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import numpy as np
 
 from dmip_tpu import checkpoints, data, evaluate, gridsearch, train
-from dmip_tpu.problems import scatterometry as scat
+from tools import common
 
 
 def collect_trials(src_dir: str):
@@ -76,22 +75,14 @@ def main():
     for kl, tdir, params in picked:
         print(f"  sel-KL={kl:.4f}  {params}  ({tdir})")
 
-    forward_model, fparams = scat.load_forward_model()
-    key = jax.random.PRNGKey(13)
-    k_data, k_init, _k_train, k_eval = jax.random.split(key, 4)
-    _, y_test = data.generate_dataset_scatterometry(
-        k_data, forward_model, fparams["a"], fparams["b"],
-        size=args.n_samples_y,
-    )
-    score_post = scat.score_posterior(
-        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
-    )
-    gt_loader = lambda i, j: np.load(
-        os.path.join(args.gt_dir, str(i), f"{j}.npy")
-    )
+    s = common.scat_setup(n_ys=args.n_samples_y)
+    forward_model, fparams = s.forward_model, s.fparams
+    y_test, score_post = s.y_test, s.score_post
+    k_init, k_eval = s.k_init, s.k_eval
+    gt_loader = common.gt_loader(args.gt_dir)
     hidden = [int(v) for v in args.hidden.split(",")]
 
-    k_train = _k_train  # the grid's own training-key schedule
+    k_train = s.k_train  # the grid's own training-key schedule
     for sel_kl, tdir, trial_params in picked:
         factory_cfg = {
             "model": "CDE", "hidden_layers": hidden, **trial_params,
@@ -127,11 +118,10 @@ def main():
                 step=args.retrain_epochs, key=k_train,
             )
         else:
-            template = model.init(k_init)
-            restored = checkpoints.load_checkpoint(
-                os.path.join(tdir, "checkpoint"), template, None
+            params, _ = common.resolve_checkpoint(
+                model.init(k_init), [os.path.join(tdir, "checkpoint")],
+                label="finalist checkpoint",
             )
-            params = restored["params"]
 
         out_dir = os.path.join(tdir, "results_full")
         kl, nlpd, mse = evaluate.evaluate_scatterometry(

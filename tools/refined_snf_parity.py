@@ -29,10 +29,13 @@ Modes (composable):
                     the CDE-proposal band)
   --method heun     probability-flow ODE proposal (measured negative)
 
-Config grammar: 'kernel,steps,param[,frac[,tau]]' — kernel mh/mala/ula,
+Config grammar (tools/common.build_refined):
+'kernel,steps,param[,frac[,tau]][,key=value...]' — kernel mh/mala/ula,
 param = noise_std (mh) or stepsize (mala/ula), frac<1 = partial-refinement
 mixture, tau>0 = one final ULA smoothing step (both measured negatives,
-BENCHMARKS.md).
+BENCHMARKS.md); named options anneal=L (annealed-lambda chain from
+interpolation weight L, SNF's own schedule) and acc=A (per-condition
+acceptance-targeted proposal-std adaptation).
 
 Usage: python tools/refined_snf_parity.py --sweep
        python tools/refined_snf_parity.py --full mh,10,0.1 --paired
@@ -53,46 +56,22 @@ import jax
 import numpy as np
 
 from dmip_tpu import checkpoints, data, evaluate, train
-from dmip_tpu.models import EnergyRefinedModel
-from dmip_tpu.problems import scatterometry as scat
+from tools import common
+from tools.common import build_refined as build  # noqa: F401 — tool API
 
 # The best full-grid finalist (BENCHMARKS.md round 2); the 500k-epoch cosine
 # retrain of this trial measured KL 0.624 / NLPD 1.17.
-TRIAL_DIR = os.path.join(
-    "grid_search_results", "scatterometry_full",
-    "cScoreFPE", "PINNLoss", "L2", "L1", "lam:0.01", "lam2:0.01",
-)
-TRIAL_CFG = {
-    "model": "CDE", "loss_fn": "PINNLoss", "pde_loss": "cScoreFPE",
-    "pde_metric": "L2", "ic_metric": "L1", "lam": 0.01, "lam2": 0.01,
-    "hidden_layers": [512, 512, 512],
-}
+TRIAL_DIR = common.BEST_TRIAL_DIR
+TRIAL_CFG = common.BEST_TRIAL_CFG
 BASELINES_CSV = os.path.join("results", "scatterometry", "baselines",
                              "results.csv")
 
 
 def _setup():
-    forward_model, fparams = scat.load_forward_model()
-    key = jax.random.PRNGKey(13)
-    k_data, k_init, k_train, k_eval = jax.random.split(key, 4)
-    # identical y_test to the GT generator / baselines driver: split(key, n)[0]
-    # is n-invariant, so every driver with RANDOM_STATE 13 shares it.
-    _, y_test = data.generate_dataset_scatterometry(
-        k_data, forward_model, fparams["a"], fparams["b"], size=100
-    )
-    score_post = scat.score_posterior(
-        forward_model, fparams["a"], fparams["b"], fparams["lambd_bd"]
-    )
-    energy = lambda x, yt: scat.get_log_posterior(
-        x, forward_model, fparams["a"], fparams["b"], yt, fparams["lambd_bd"]
-    )
-    model, loss_cfg = train.get_model_from_args(TRIAL_CFG, fparams)
-    return (forward_model, fparams, y_test, score_post, energy, model,
-            loss_cfg, k_init, k_train, k_eval)
-
-
-def _gt_loader(gt_dir):
-    return lambda i, j: np.load(os.path.join(gt_dir, str(i), f"{j}.npy"))
+    s = common.scat_setup()
+    model, loss_cfg = train.get_model_from_args(TRIAL_CFG, s.fparams)
+    return (s.forward_model, s.fparams, s.y_test, s.score_post, s.energy,
+            model, loss_cfg, s.k_init, s.k_train, s.k_eval)
 
 
 def train_long(args, model, loss_cfg, score_post, forward_model, fparams,
@@ -135,19 +114,20 @@ def train_long(args, model, loss_cfg, score_post, forward_model, fparams,
 
 def load_params(model, k_init, ckpt_dir=None):
     """Proposal checkpoint: default is checkpoint_xlong, the 500k-epoch
-    cosine retrain (KL 0.624, round 2).  ``ckpt_dir`` overrides — e.g.
+    cosine retrain (KL 0.624, round 2), falling back to the durable
+    ``benchmarks/checkpoints/cde_500k`` archive (grid_search_results/ is
+    gitignored and wiped between rounds).  ``ckpt_dir`` overrides — e.g.
     ``benchmarks/checkpoints/cde_20k_best`` (the reference-schedule grid
     winner, same 512x3 architecture) to measure refinement on a 25x
-    cheaper proposal."""
-    if ckpt_dir is None:
-        ckpt_dir = os.path.join(TRIAL_DIR, "checkpoint_xlong")
-        if not os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
-            # grid_search_results/ is gitignored and wiped between rounds;
-            # the same params are archived durably in benchmarks/checkpoints
-            ckpt_dir = os.path.join("benchmarks", "checkpoints", "cde_500k")
-    return checkpoints.load_checkpoint(
-        ckpt_dir, model.init(k_init), None
-    )["params"]
+    cheaper proposal.  Prints the resolved path."""
+    candidates = [ckpt_dir] if ckpt_dir else [
+        os.path.join(TRIAL_DIR, "checkpoint_xlong"),
+        os.path.join("benchmarks", "checkpoints", "cde_500k"),
+    ]
+    params, _ = common.resolve_checkpoint(
+        model.init(k_init), candidates, label="proposal checkpoint"
+    )
+    return params
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -184,33 +164,6 @@ class PriorProposal:
                mean=0.0, std=1.0, dtype=None, method="auto"):
         out = scat.sample_prior(key, num_samples, self.lambd_bd)
         return out.astype(dtype) if dtype is not None else out
-
-
-def build(model, energy, cfg_str):
-    """'kernel,steps,param[,frac[,tau]]' -> model (refined or plain CDE).
-
-    frac<1 refines only that fraction of the population (the CDE/refined
-    mixture knob, models/refined.py refine_frac); tau>0 appends one ULA
-    smoothing step of stepsize tau (noise std sqrt(2*tau))."""
-    parts = cfg_str.split(",")
-    kernel, steps, param = parts[0], int(parts[1]), parts[2]
-    frac = float(parts[3]) if len(parts) > 3 else 1.0
-    tau = float(parts[4]) if len(parts) > 4 else 0.0
-    if (kernel == "none" or steps == 0) and tau == 0.0:
-        return model, "cde"
-    if kernel == "none" or steps == 0:
-        refined = EnergyRefinedModel(model, energy, refine_steps=0,
-                                     smooth_tau=tau)
-        return refined, f"cde_tau{tau}"
-    kw = ({"noise_std": float(param)} if kernel == "mh"
-          else {"stepsize": float(param)})
-    refined = EnergyRefinedModel(model, energy, refine_steps=steps,
-                                 kernel=kernel, refine_frac=frac,
-                                 smooth_tau=tau, **kw)
-    tag = (f"{kernel}{steps}_{param}"
-           + (f"_f{frac}" if frac < 1.0 else "")
-           + (f"_tau{tau}" if tau > 0.0 else ""))
-    return refined, tag
 
 
 def main():

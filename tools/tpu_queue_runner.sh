@@ -12,20 +12,7 @@
 cd /root/repo || exit 1
 mkdir -p results/tpu_queue
 L=results/tpu_queue
-
-run() {
-  name=$1; tmo=$2; shift 2
-  if [ -f "$L/$name.done" ]; then
-    echo "=== [$name] already done, skipping ==="
-    return
-  fi
-  echo "=== [$name] start $(date) ==="
-  timeout "$tmo" "$@" > "$L/$name.log" 2>&1
-  rc=$?
-  echo "=== [$name] exit=$rc $(date) ==="
-  [ "$rc" -eq 0 ] && touch "$L/$name.done"
-  tail -5 "$L/$name.log"
-}
+. tools/tpu_queue_lib.sh
 
 # 0. rebuild the DPS prior checkpoint the guidance sweeps consume
 run train_dps        3600 python tools/train_only.py --config configs/config_scatterometry_dps.yml
