@@ -156,8 +156,7 @@ def _em_cdiffe_kernel(
     seed_ref,
     x0_ref,
     y_ref,
-    w1x_ref,
-    w1y_ref,
+    w1xy_ref,
     w1t_ref,
     b1_ref,
     *rest_refs,
@@ -174,6 +173,15 @@ def _em_cdiffe_kernel(
     (fresh in-kernel noise), feed [x, y_t, t] through the joint net, and
     advance only the x block (models/diffusion.py:158-180; output weights
     are pre-sliced to the x block outside).
+
+    Round-4 perf restructuring (both changes distribution-preserving):
+      * ONE Box-Muller draw of (B, xdim + ydim) per step, sliced into the
+        integrator noise and the y re-diffusion noise — the PRNG +
+        log/cos passes run on <=1-vreg-wide arrays, so two narrow draws
+        cost double one combined draw;
+      * ONE fused first-layer matmul on the concatenated [x, y_t] block
+        (the weight rows are contiguous in the joint net) instead of two
+        K~=2 MXU passes per step.
     """
     out_ref = rest_refs[-1]
     layer_refs = rest_refs[:-1]
@@ -182,10 +190,11 @@ def _em_cdiffe_kernel(
 
     x0 = x0_ref[:]  # (B, xdim) f32
     y0 = y_ref[:]  # (1, ydim) f32
-    w1x = w1x_ref[:]  # (xdim, H1) compute_dtype
-    w1y = w1y_ref[:]  # (ydim, H1) compute_dtype
+    w1xy = w1xy_ref[:]  # (xdim + ydim, H1) compute_dtype
     w1t = w1t_ref[:]  # (1, H1) f32
     b1 = b1_ref[:]  # (1, H1) f32
+    xdim = x0.shape[1]
+    ydim = y0.shape[1]
 
     delta = T / num_steps
     sqrt_delta = delta**0.5
@@ -217,13 +226,15 @@ def _em_cdiffe_kernel(
         int_beta = 0.5 * bd * s**2 + beta_min * s
         alpha = jnp.exp(-0.5 * int_beta)
         std_s = jnp.sqrt(1.0 - jnp.exp(-int_beta))
-        eps_y = noise_scale * _box_muller((x.shape[0], y0.shape[1]))
-        y_t = alpha * y0 + std_s * eps_y  # broadcast (B, ydim)
+        if noise_scale == 0.0:
+            y_t = jnp.broadcast_to(alpha * y0, (x.shape[0], ydim))
+            eps = None
+        else:
+            eps = noise_scale * _box_muller((x.shape[0], xdim + ydim))
+            y_t = alpha * y0 + std_s * eps[:, xdim:]
+        z = jnp.concatenate([x, y_t], axis=1)
         acc = jax.lax.dot_general(
-            x.astype(compute_dtype), w1x, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            y_t.astype(compute_dtype), w1y, (((1,), (0,)), ((), ())),
+            z.astype(compute_dtype), w1xy, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         h = jnp.tanh(acc + s * w1t + b1).astype(compute_dtype)
@@ -232,8 +243,7 @@ def _em_cdiffe_kernel(
         if noise_scale == 0.0:
             return x + delta * mu
         sigma = (1.0 - lmbd) ** 0.5 * g
-        noise = noise_scale * _box_muller(x.shape)
-        return x + delta * mu + sqrt_delta * sigma * noise
+        return x + delta * mu + sqrt_delta * sigma * eps[:, :xdim]
 
     out_ref[:] = jax.lax.fori_loop(0, num_steps, step, x0)
 
@@ -264,8 +274,7 @@ def fused_em_sampler_cdiffe(
     n = x0.shape[0]
     ydim = w1.shape[0] - xdim - 1
 
-    w1x = w1[:xdim]
-    w1y = w1[xdim : xdim + ydim]
+    w1xy = w1[: xdim + ydim]
     w1t = w1[xdim + ydim :].reshape(1, -1)
     y_row = jnp.asarray(y, jnp.float32).reshape(1, ydim)
 
@@ -315,8 +324,7 @@ def fused_em_sampler_cdiffe(
             pl.BlockSpec((block_rows, xdim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             full(),  # y row
-            full(),  # w1x
-            full(),  # w1y
+            full(),  # w1xy
             full(),  # w1t
             full(),  # b1
             *layer_specs,
@@ -329,8 +337,7 @@ def fused_em_sampler_cdiffe(
         jnp.asarray(seed, jnp.int32).reshape(1),
         x0.astype(jnp.float32),
         y_row,
-        w1x.astype(compute_dtype),
-        w1y.astype(compute_dtype),
+        w1xy.astype(compute_dtype),
         w1t.astype(jnp.float32),
         b1.reshape(1, -1).astype(jnp.float32),
         *layer_args,
