@@ -137,16 +137,21 @@ def annealed_mh(
     steps: int,
     noise_std: float = 0.1,
     lambda0: float = 1.0,
+    lambda1: float = 1.0,
     target_acc: float | None = None,
     adapt_rate: float = 1.0,
 ) -> Tuple[Array, dict]:
     """Random-walk MH chain whose target ANNEALS through the interpolated
     energies ``lam * E(x) + (1 - lam) * ||x||^2 / 2`` — the SNF stochastic
     layers' own schedule (reference models/SNF.py:220-231), here applied
-    within one chain: ``lam`` runs linearly from ``lambda0`` to 1.0 across
-    the steps (the last step always targets the exact posterior energy).
-    ``lambda0=1.0`` degenerates to a fixed-target chain equivalent in
-    distribution to :func:`anneal_to_energy`.
+    within one chain: ``lam`` runs linearly from ``lambda0`` to ``lambda1``
+    across the steps.  ``lambda1 < 1`` is TEMPERED refinement: the chain's
+    final target blends the posterior with the standard-normal prior,
+    leaving the population slightly over-dispersed — the controlled analog
+    of the SNF sampler's own residual bias (its finite chains never fully
+    reach lam=1 stationarity either).  ``lambda0=lambda1=1.0`` degenerates
+    to a fixed-target chain equivalent in distribution to
+    :func:`anneal_to_energy`.
 
     ``target_acc`` (e.g. 0.4) turns on per-call proposal adaptation: after
     every step the shared log proposal-std moves by
@@ -168,9 +173,9 @@ def annealed_mh(
     e_post = energy(x_curr)
     e_prior = 0.5 * jnp.sum(x_curr**2, axis=1)
     lambdas = (
-        jnp.linspace(lambda0, 1.0, steps)
+        jnp.linspace(lambda0, lambda1, steps)
         if steps > 1
-        else jnp.ones((steps,), x_curr.dtype)
+        else jnp.full((steps,), lambda1, x_curr.dtype)
     )
 
     def step(carry, inp):

@@ -157,12 +157,21 @@ class DiffusionModel:
         std: float = 1.0,
         dtype=jnp.float32,
         method: str = "auto",
+        compute_dtype="auto",
     ) -> Array:
         """Posterior sampler (reference models/diffusion.py:27-46).
 
         method: 'auto' (fused Pallas E-M kernel on TPU, XLA E-M scan
         elsewhere), 'pallas', 'xla', or 'heun' (second-order
         probability-flow ODE — samplers.heun_ode; no reference equivalent).
+
+        compute_dtype ('auto' = bf16) is the Pallas kernel's weight /
+        activation dtype; accumulation and the integration state stay f32.
+        Round-4 measurement: at scatterometry shapes the f32-weight kernel
+        falls off a Mosaic performance cliff (228 ms vs 71 ms per 30k x 200
+        call — the same kernel at linear shapes shows no gap), so bf16
+        weights are the default; pass jnp.float32 to reproduce the old
+        numerics exactly.
         """
         if method == "heun":
             drift = lambda z, c, s: self.apply_a(params, z, c, s)
@@ -189,8 +198,8 @@ class DiffusionModel:
                 params, x0, y, num_steps,
                 T=self.sde.T, beta_min=base.beta_min, beta_max=base.beta_max,
                 seed=seed,
-                compute_dtype=jnp.bfloat16 if dtype == jnp.bfloat16
-                else jnp.float32,
+                compute_dtype=jnp.bfloat16 if compute_dtype == "auto"
+                else compute_dtype,
             ).astype(dtype)
         drift = lambda z, c, s: self.apply_a(params, z, c, s)
         return samplers.euler_maruyama(
@@ -231,6 +240,7 @@ class CDiffE(DiffusionModel):
         std: float = 1.0,
         dtype=jnp.float32,
         method: str = "auto",
+        compute_dtype="auto",
     ) -> Array:
         if method == "auto":
             method = (
@@ -257,8 +267,8 @@ class CDiffE(DiffusionModel):
                 params, x0, y, self.xdim, num_steps,
                 T=self.sde.T, beta_min=base.beta_min, beta_max=base.beta_max,
                 seed=seed,
-                compute_dtype=jnp.bfloat16 if dtype == jnp.bfloat16
-                else jnp.float32,
+                compute_dtype=jnp.bfloat16 if compute_dtype == "auto"
+                else compute_dtype,
             ).astype(dtype)
         drift = lambda z, c, s: self.apply_a(params, z, c, s)
         return samplers.euler_maruyama_cdiffe(

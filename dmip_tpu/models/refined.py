@@ -83,6 +83,14 @@ class EnergyRefinedModel:
     # jumping straight to lam=1 — SNF's own mechanism applied to the
     # refinement chain (round-3 verdict's untried lever).
     anneal_from: float = 1.0
+    # Tempered refinement (kernel='mh' only): the chain's FINAL target is
+    # the interpolated energy at this lambda.  anneal_to < 1 leaves the
+    # population stationed on posterior^lam x prior^(1-lam) — slightly
+    # over-dispersed, the controlled analog of SNF's own residual smoothing
+    # bias (the GT-half-swap measured SNF's forward-KL BELOW the
+    # true-sample floor: a smooth density out-scores true samples on the
+    # sparse 75^3 histogram, so full-fidelity refinement cannot match it).
+    anneal_to: float = 1.0
     # Acceptance-rate-targeted proposal adaptation (kernel='mh' only):
     # when > 0, the proposal std adapts per CONDITION toward this mean
     # acceptance rate via diminishing Robbins-Monro on log-sigma
@@ -138,10 +146,12 @@ class EnergyRefinedModel:
                 x_out, _, _, _ = mcmc.langevin_step(
                     key, x, self.stepsize, energy, self.refine_steps
                 )
-            elif self.anneal_from < 1.0 or self.target_acc > 0.0:
+            elif (self.anneal_from < 1.0 or self.anneal_to != 1.0
+                  or self.target_acc > 0.0):
                 x_out, _ = mcmc.annealed_mh(
                     key, x, energy, self.refine_steps,
                     noise_std=self.noise_std, lambda0=self.anneal_from,
+                    lambda1=self.anneal_to,
                     target_acc=self.target_acc if self.target_acc > 0 else None,
                 )
             else:
@@ -179,3 +189,55 @@ class EnergyRefinedModel:
             mean=mean, std=std, dtype=dtype, method=method,
         )
         return self.refine(k_ref, x, y).astype(dtype)
+
+
+def from_config(model, energy, cfg_str: str):
+    """Refinement config grammar -> (model, tag).
+
+    ``'kernel,steps,param[,frac[,tau]][,key=value...]'`` — kernel mh/mala/
+    ula/none, param = noise_std (mh) or stepsize (mala/ula); positional
+    frac<1 = partial-refinement mixture, tau>0 = one final ULA smoothing
+    step (both measured-negative probes, BENCHMARKS.md).  Named options:
+    ``anneal=L`` starts the MH chain at interpolated-energy lambda=L (SNF's
+    schedule, mcmc.annealed_mh), ``lend=L`` ends it at lambda=L (tempered
+    refinement: <1 leaves the population on the slightly prior-blended
+    target), ``acc=A`` adapts the proposal std toward mean acceptance A per
+    condition.  Used by the experiment tools (via tools/common) and by the
+    mains' ``refine:`` config key.
+    """
+    parts = cfg_str.split(",")
+    named = {}
+    positional = []
+    for p in parts[3:]:
+        if "=" in p:
+            k, v = p.split("=", 1)
+            named[k] = float(v)
+        else:
+            positional.append(p)
+    kernel, steps, param = parts[0], int(parts[1]), parts[2]
+    frac = float(positional[0]) if len(positional) > 0 else 1.0
+    tau = float(positional[1]) if len(positional) > 1 else 0.0
+    anneal = named.pop("anneal", 1.0)
+    lend = named.pop("lend", 1.0)
+    acc = named.pop("acc", 0.0)
+    if named:
+        raise ValueError(f"unknown refinement options: {sorted(named)}")
+    if (kernel == "none" or steps == 0) and tau == 0.0:
+        return model, "cde"
+    if kernel == "none" or steps == 0:
+        refined = EnergyRefinedModel(model, energy, refine_steps=0,
+                                     smooth_tau=tau)
+        return refined, f"cde_tau{tau}"
+    kw = ({"noise_std": float(param)} if kernel == "mh"
+          else {"stepsize": float(param)})
+    refined = EnergyRefinedModel(model, energy, refine_steps=steps,
+                                 kernel=kernel, refine_frac=frac,
+                                 smooth_tau=tau, anneal_from=anneal,
+                                 anneal_to=lend, target_acc=acc, **kw)
+    tag = (f"{kernel}{steps}_{param}"
+           + (f"_f{frac}" if frac < 1.0 else "")
+           + (f"_tau{tau}" if tau > 0.0 else "")
+           + (f"_a{anneal}" if anneal < 1.0 else "")
+           + (f"_e{lend}" if lend != 1.0 else "")
+           + (f"_acc{acc}" if acc > 0.0 else ""))
+    return refined, tag

@@ -87,6 +87,27 @@ def run(config: dict) -> tuple:
         n_samples_x=int(config["n_samples_x"]),
         n_repeats=int(config.get("n_repeats", 10)),
     )
+
+    if config.get("refine"):
+        # Energy-refined companion row: the linear problem has an EXACT
+        # analytic energy (problems/linear.py log_posterior, re-derived from
+        # reference linear_problem.py:48-58), so the same exact-energy
+        # refinement that closes the scatterometry SNF gap applies here —
+        # the flagship abstraction is problem-agnostic (round-3 verdict #6).
+        from dmip_tpu.models.refined import from_config
+
+        energy = lambda x, ys: prob.log_posterior(x, ys)[:, 0]
+        refined, tag = from_config(model, energy, str(config["refine"]))
+        r_metrics = evaluate.evaluate_linear(
+            refined, params, prob,
+            y_test[: int(config["n_samples_y"])], k_eval,
+            out_dir=config["out_dir"] + f"_refined_{tag}",
+            n_samples_x=int(config["n_samples_x"]),
+            n_repeats=int(config.get("n_repeats", 10)),
+        )
+        print(f"refined[{tag}]: KL={r_metrics[0]:.4f} NLPD={r_metrics[1]:.4f} "
+              f"score-MSE={r_metrics[2]:.4f}", flush=True)
+
     return params, metrics
 
 

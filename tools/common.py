@@ -27,7 +27,7 @@ import jax
 import numpy as np
 
 from dmip_tpu import checkpoints, data, train
-from dmip_tpu.models import EnergyRefinedModel
+from dmip_tpu.models import refined as _refined_mod
 from dmip_tpu.problems import scatterometry as scat
 
 # Every scatterometry driver (GT generator, baselines, grids, these tools)
@@ -108,48 +108,6 @@ def resolve_checkpoint(
     )
 
 
-def build_refined(model, energy, cfg_str: str):
-    """Refinement config grammar -> (model, tag).
-
-    ``'kernel,steps,param[,frac[,tau]][,key=value...]'`` — kernel mh/mala/
-    ula/none, param = noise_std (mh) or stepsize (mala/ula); positional
-    frac<1 = partial-refinement mixture, tau>0 = one final ULA smoothing
-    step (both measured-negative probes, BENCHMARKS.md).  Named options:
-    ``anneal=L`` starts the MH chain at interpolated-energy lambda=L
-    (SNF's schedule, mcmc.annealed_mh), ``acc=A`` adapts the proposal std
-    toward mean acceptance A per condition.
-    """
-    parts = cfg_str.split(",")
-    named = {}
-    positional = []
-    for p in parts[3:]:
-        if "=" in p:
-            k, v = p.split("=", 1)
-            named[k] = float(v)
-        else:
-            positional.append(p)
-    kernel, steps, param = parts[0], int(parts[1]), parts[2]
-    frac = float(positional[0]) if len(positional) > 0 else 1.0
-    tau = float(positional[1]) if len(positional) > 1 else 0.0
-    anneal = named.pop("anneal", 1.0)
-    acc = named.pop("acc", 0.0)
-    if named:
-        raise ValueError(f"unknown refinement options: {sorted(named)}")
-    if (kernel == "none" or steps == 0) and tau == 0.0:
-        return model, "cde"
-    if kernel == "none" or steps == 0:
-        refined = EnergyRefinedModel(model, energy, refine_steps=0,
-                                     smooth_tau=tau)
-        return refined, f"cde_tau{tau}"
-    kw = ({"noise_std": float(param)} if kernel == "mh"
-          else {"stepsize": float(param)})
-    refined = EnergyRefinedModel(model, energy, refine_steps=steps,
-                                 kernel=kernel, refine_frac=frac,
-                                 smooth_tau=tau, anneal_from=anneal,
-                                 target_acc=acc, **kw)
-    tag = (f"{kernel}{steps}_{param}"
-           + (f"_f{frac}" if frac < 1.0 else "")
-           + (f"_tau{tau}" if tau > 0.0 else "")
-           + (f"_a{anneal}" if anneal < 1.0 else "")
-           + (f"_acc{acc}" if acc > 0.0 else ""))
-    return refined, tag
+# Refinement config grammar (lives with the model; re-exported here as the
+# tools' stable name).
+build_refined = _refined_mod.from_config

@@ -86,6 +86,10 @@ def main():
     p.add_argument("--cfg", default="mh,20,0.2",
                    help="refinement config (tools/common.build_refined "
                         "grammar) for the refined sampler column")
+    p.add_argument("--cfgs", nargs="*", default=None,
+                   help="ADDITIONAL refinement configs to score in the same "
+                        "run (amortizes SNF/CDE/GT work; each adds a paired "
+                        "column set and its own verdict block)")
     p.add_argument("--ckpt_dir", default=None,
                    help="proposal checkpoint override (default: the "
                         "500k-epoch archive via the parity tool's "
@@ -117,6 +121,12 @@ def main():
         "ref": model_hist_fn(
             lambda k, y: refined.sample(cde_params, k, y, n, 200)),
     }
+    extra_tags = []
+    for cfg_str in args.cfgs or ():
+        m, t = common.build_refined(cde, s.energy, cfg_str)
+        extra_tags.append(t)
+        fns[t] = model_hist_fn(
+            lambda k, y, m=m: m.sample(cde_params, k, y, n, 200))
 
     @jax.jit
     def gt_hist(x):
@@ -153,7 +163,12 @@ def main():
         for i in range(args.n_ys):
             w.writerow([i] + [cols[k][i] for k in names])
     print(f"per-condition table: {out}", flush=True)
-    report({k: np.asarray(v) for k, v in cols.items()}, tag)
+    arr = {k: np.asarray(v) for k, v in cols.items()}
+    report(arr, tag)
+    for t in extra_tags:
+        sub = dict(arr)
+        sub["kl_ref_A"], sub["kl_ref_B"] = arr[f"kl_{t}_A"], arr[f"kl_{t}_B"]
+        report(sub, t)
 
 
 def report(c, tag):
