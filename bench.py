@@ -19,7 +19,14 @@ Prints ONE JSON line:
 the linear problem's shapes, whole-epoch jitted scans) against the measured
 torch per-batch baseline (benchmarks/torch_train_baseline.json; regenerate
 with ``python benchmarks/baseline_torch_train.py``) and prints its own
-single JSON line.
+single JSON line, now with the roofline fields (TFLOP/s and %-of-v5e-peak
+per loss via CPU-backend HLO cost analysis).
+
+The DEFAULT invocation prints the headline line FIRST (unchanged format for
+the driver's parser), then appends one labeled JSON line per extra mode
+(--train, --refined, --mh, --dps) so the recorded BENCH_r{N}.json tail
+shows the full throughput picture.  ``--main-only`` restores the
+single-line behavior; each mode also runs standalone via its flag.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -44,11 +52,64 @@ TRAIN_EPOCHS = 60
 TRAIN_BATCHES = 90
 TRAIN_BATCH = 1000
 
+# TPU v5e (v5 lite) bf16 MXU peak per chip; the roofline denominator for
+# the MFU fields.  Round-4 measurement: JAX's DEFAULT matmul precision on
+# TPU already runs single-pass bf16 for f32 operands (forcing
+# default_matmul_precision('bfloat16') changes DSM throughput <1%, while
+# 'highest' costs 2.6x / 'tensorfloat32' 1.6x), so bf16 peak is the honest
+# reference and there is no remaining precision lever in the train step.
+V5E_BF16_PEAK = 197e12
 
-def _measure_train(loss_name: str, extra_cfg: dict) -> float:
+
+def _train_flops_per_epoch(loss_name: str, extra_cfg: dict,
+                           batch: int, n_batches: int) -> float:
+    """FLOPs of one training EPOCH, counted by the CPU backend's HLO cost
+    analysis of a single jitted train step (the TPU tunnel's cost_analysis
+    returns bogus numbers, and XLA cost analysis does not multiply loop trip
+    counts — so count ONE step and multiply by batches/epoch).  Verified
+    against the analytic MLP count: DSM = 3 x forward =
+    6 x MACs x batch (3.21 GFLOP/step-batch at 512x3/batch-1000 vs 3.17
+    analytic); PINN measures ~6x DSM (its jvp/jacfwd/second-order grads)."""
+    import optax
+
+    from dmip_tpu.problems import LinearForwardProblem
+    from dmip_tpu.train import make_train_step
+
+    prob = LinearForwardProblem()
+    model, cfg = get_model_from_args(
+        {"model": "CDE", "loss_fn": loss_name,
+         "hidden_layers": [512, 512, 512], **extra_cfg},
+        {"xdim": 2, "ydim": 2},
+    )
+    loss_fn = model.make_loss_fn(cfg, initial_condition=prob.score_posterior)
+    optimizer = optax.adam(1e-4)
+    step = make_train_step(loss_fn, optimizer)
+    key = jax.random.PRNGKey(0)
+    params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.local_devices(backend="cpu")[0]),
+        model.init(key),
+    )
+    opt_state = optimizer.init(params)
+    x = jnp.zeros((batch, 2))
+    y = jnp.zeros((batch, 2))
+    c = (
+        jax.jit(step, backend="cpu")
+        .lower(params, opt_state, key, x, y)
+        .compile()
+        .cost_analysis()
+    )
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    return float(c.get("flops", 0.0)) * n_batches
+
+
+def _measure_train(loss_name: str, extra_cfg: dict,
+                   batch: int = TRAIN_BATCH,
+                   n_batches: int = TRAIN_BATCHES,
+                   total_epochs: int = TRAIN_EPOCHS) -> float:
     """Epochs/s for one (loss) training variant on the reference workload
     shapes (main_diffusion_linear.py: 512x3 CDE, batch 1000, 90
-    batches/epoch)."""
+    batches/epoch by default)."""
     import optax
 
     from dmip_tpu import data, train
@@ -57,7 +118,7 @@ def _measure_train(loss_name: str, extra_cfg: dict) -> float:
     prob = LinearForwardProblem()
     key = jax.random.PRNGKey(0)
     xs, ys = data.generate_dataset_linear(
-        key, prob.xdim, prob.forward, TRAIN_BATCHES * TRAIN_BATCH
+        key, prob.xdim, prob.forward, n_batches * batch
     )
     model, cfg = get_model_from_args(
         {"model": "CDE", "loss_fn": loss_name,
@@ -70,7 +131,7 @@ def _measure_train(loss_name: str, extra_cfg: dict) -> float:
     epoch_fn = train.make_epoch_fn(
         loss_fn, optimizer,
         lambda k: data.linear_epoch_batches(k, xs, ys, prob.noise_std,
-                                            TRAIN_BATCH),
+                                            batch),
         epochs_per_call=epc, donate=False,
     )
     params = model.init(key)
@@ -84,19 +145,43 @@ def _measure_train(loss_name: str, extra_cfg: dict) -> float:
 
     t0 = time.time()
     params, opt_state = out[0], out[1]
-    for c in range(TRAIN_EPOCHS // epc):
+    for c in range(total_epochs // epc):
         params, opt_state, losses, _ = epoch_fn(
             params, opt_state, key, (c + 1) * epc
         )
     jax.block_until_ready(losses)
-    return TRAIN_EPOCHS / (time.time() - t0)
+    return total_epochs / (time.time() - t0)
 
 
 def bench_train() -> None:
     """DSM + PINN training throughput vs the measured torch baselines
-    (benchmarks/torch_train_baseline.json)."""
+    (benchmarks/torch_train_baseline.json), with the roofline accounting
+    of round-4 verdict #3: TFLOP/s and %-of-peak per loss, plus the
+    batch-scaling MFU ceiling (DSM at batch 16k — the measured saturation
+    point of this 512x3 workload; see BENCHMARKS.md training roofline)."""
     pinn = _measure_train("PINNLoss", {"lam": 0.1, "lam2": 1.0})
     dsm = _measure_train("DSM", {})
+    dsm_16k = _measure_train("DSM", {}, batch=16000, n_batches=5)
+
+    try:
+        dsm_fpe = _train_flops_per_epoch("DSM", {}, TRAIN_BATCH,
+                                         TRAIN_BATCHES)
+        pinn_fpe = _train_flops_per_epoch("PINNLoss",
+                                          {"lam": 0.1, "lam2": 1.0},
+                                          TRAIN_BATCH, TRAIN_BATCHES)
+        dsm16_fpe = _train_flops_per_epoch("DSM", {}, 16000, 5)
+    except Exception:
+        dsm_fpe = pinn_fpe = dsm16_fpe = None
+
+    def mfu(eps, fpe):
+        if fpe is None:
+            return None, None
+        tf = eps * fpe / 1e12
+        return tf, 100.0 * tf * 1e12 / V5E_BF16_PEAK
+
+    dsm_tf, dsm_pct = mfu(dsm, dsm_fpe)
+    pinn_tf, pinn_pct = mfu(pinn, pinn_fpe)
+    d16_tf, d16_pct = mfu(dsm_16k, dsm16_fpe)
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -116,8 +201,15 @@ def bench_train() -> None:
                 "value": pinn,
                 "unit": "epochs/s",
                 "vs_baseline": vs_pinn,
+                "pinn_tflops": pinn_tf,
+                "pinn_pct_peak": pinn_pct,
                 "dsm_train_epochs_per_sec": dsm,
                 "dsm_vs_baseline": vs_dsm,
+                "dsm_tflops": dsm_tf,
+                "dsm_pct_peak": dsm_pct,
+                "dsm_batch16k_tflops": d16_tf,
+                "dsm_batch16k_pct_peak": d16_pct,
+                "peak_ref_tflops": V5E_BF16_PEAK / 1e12,
                 "device": str(jax.devices()[0]),
                 "workload": f"{TRAIN_EPOCHS} epochs x {TRAIN_BATCHES} "
                             f"batches x {TRAIN_BATCH}",
@@ -245,6 +337,58 @@ def bench_refined() -> None:
     )
 
 
+def bench_mh() -> None:
+    """Fused Metropolis ground-truth kernel throughput (ops/mh_kernel.py):
+    one GT unit = 30k chains x 1000 steps on the surrogate posterior
+    (generate_scatterometry_ground_truth.py's workload; the reference fans
+    this out over 4 joblib CPU processes)."""
+    from dmip_tpu.ops import fused_mh_scatterometry
+    from dmip_tpu.problems import scatterometry as scat
+
+    fwd, fparams = scat.load_forward_model()
+    weights = scat.load_surrogate_weights()
+    key = jax.random.PRNGKey(0)
+    y = scat.noisy_forward(
+        jax.random.PRNGKey(1), fwd,
+        scat.sample_prior(jax.random.PRNGKey(2), 1, fparams["lambd_bd"]),
+        fparams["a"], fparams["b"],
+    )[0]
+    n, steps = 30_000, 1000
+
+    def run(k):
+        k0, ks = jax.random.split(k)
+        x0 = jax.random.uniform(k0, (n, 3)) * 2.0 - 1.0
+        seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max)
+        return fused_mh_scatterometry(
+            weights, x0, y, steps, noise_std=0.5,
+            a=fparams["a"], b=fparams["b"], lambd_bd=fparams["lambd_bd"],
+            seed=seed,
+        )
+
+    sampler = jax.jit(run)
+    jax.block_until_ready(sampler(key))
+    jax.block_until_ready(sampler(jax.random.fold_in(key, 999)))
+    t0 = time.time()
+    for r in range(N_REPS):
+        out = sampler(jax.random.fold_in(key, r))
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / N_REPS
+    print(
+        json.dumps(
+            {
+                "metric": "mh_gt_chain_steps_per_sec",
+                "value": n * steps / dt,
+                "unit": "chain_steps/s",
+                "vs_baseline": None,
+                "seconds_per_gt_unit": dt,
+                "full_gt_estimate_min": dt * 100 * 10 / 60,
+                "device": str(jax.devices()[0]),
+                "workload": f"{n} chains x {steps} MH steps (surrogate energy)",
+            }
+        )
+    )
+
+
 def main() -> None:
     model, _ = get_model_from_args(
         {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [512, 512, 512]},
@@ -308,5 +452,20 @@ if __name__ == "__main__":
         bench_dps()
     elif "--refined" in sys.argv[1:]:
         bench_refined()
-    else:
+    elif "--mh" in sys.argv[1:]:
+        bench_mh()
+    elif "--main-only" in sys.argv[1:]:
         main()
+    else:
+        # Default (driver-captured) invocation: line 1 is the headline E-M
+        # metric the driver parses; the remaining labeled JSON lines give
+        # the full throughput picture (round-4 verdict #8).  Each extra
+        # mode is best-effort — a failure must not invalidate line 1.
+        main()
+        for fn in (bench_train, bench_refined, bench_mh, bench_dps):
+            try:
+                fn()
+            except Exception as e:  # pragma: no cover - device-dependent
+                print(json.dumps({
+                    "metric": fn.__name__, "error": f"{type(e).__name__}: {e}"
+                }), flush=True)

@@ -25,15 +25,26 @@ import numpy as np
 from dmip_tpu import gridsearch
 
 
-def collect(src_dir: str, protocol: str = ""):
+def collect(src_dir: str, protocol: str = "", protocol_full: str = ""):
+    """One summary row per trial.  When a trial also carries a
+    ``results_full/results.csv`` (written by tools/reeval_finalists.py's
+    full-protocol re-score), that table takes PRECEDENCE and the row is
+    tagged ``protocol_full`` — so re-scored rows are directly comparable to
+    the headline tables while the rest keep the grid's own protocol tag."""
     rows = []
     for root, _dirs, files in os.walk(src_dir):
         if "results.csv" not in files or os.path.basename(root) != "results":
             continue
-        cols = gridsearch._read_results_csv(os.path.join(root, "results.csv"))
+        tdir = os.path.dirname(root)
+        csv_path = os.path.join(root, "results.csv")
+        row_protocol = protocol
+        full_path = os.path.join(tdir, "results_full", "results.csv")
+        if protocol_full and os.path.exists(full_path):
+            csv_path = full_path
+            row_protocol = protocol_full
+        cols = gridsearch._read_results_csv(csv_path)
         if "KL2" not in cols:
             continue
-        tdir = os.path.dirname(root)
         params = gridsearch.get_params_from_path(tdir)
         n_conditions = len(cols["KL2"])
         nll_true_col = next(
@@ -49,7 +60,7 @@ def collect(src_dir: str, protocol: str = ""):
             # reduced selection pass (few repeats -> sparse histograms) are
             # NOT comparable with full-protocol numbers (round-2 verdict:
             # sel-KLs run ~1.7-4x high)
-            "protocol": protocol,
+            "protocol": row_protocol,
             "n_conditions": n_conditions,
             "kl": float(np.mean(cols["KL2"])),
             "kl_reverse": float(np.mean(cols["KL_reverse"]))
@@ -75,9 +86,13 @@ def main():
                    help="evaluation-protocol tag recorded on every row, "
                         "e.g. 'selection:4k-epochs,20ysx2rep' or "
                         "'full:20k-epochs,100ysx10rep'")
+    p.add_argument("--protocol_full", default="",
+                   help="tag for trials that carry a results_full re-score "
+                        "(tools/reeval_finalists.py); those tables take "
+                        "precedence over the trial's own results.csv")
     args = p.parse_args()
 
-    rows = collect(args.src_dir, args.protocol)
+    rows = collect(args.src_dir, args.protocol, args.protocol_full)
     if not rows:
         sys.exit(f"no results under {args.src_dir}")
     fieldnames = sorted({k for r in rows for k in r})
