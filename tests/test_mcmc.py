@@ -112,6 +112,22 @@ def test_annealed_mh_schedule_targets_final_energy(key):
     np.testing.assert_allclose(np.cov(xs.T), 0.5 * np.eye(2), atol=0.05)
 
 
+def test_annealed_mh_tempered_endpoint(key):
+    """lambda1 < 1 (tempered refinement) stations the chain on the
+    prior-blended target: E_post = ||x||^2 (N(0, 0.5 I)) at lambda1=0.5
+    gives 0.5 ||x||^2 + 0.25 ||x||^2 -> N(0, 2/3 I)."""
+    energy = lambda x: jnp.sum(x**2, axis=1)
+    k0, kr = jax.random.split(key)
+    x0 = jax.random.normal(k0, (20_000, 2)) * jnp.sqrt(0.5)
+    x, _ = jax.jit(
+        lambda k, x: mcmc.annealed_mh(
+            k, x, energy, 400, noise_std=0.4, lambda0=1.0, lambda1=0.5
+        )
+    )(kr, x0)
+    var = float(np.asarray(x).var())
+    assert abs(var - 2.0 / 3.0) < 0.05, var
+
+
 def test_annealed_mh_adapts_to_target_acceptance(key):
     """Robbins-Monro adaptation: starting from a far-too-large proposal std,
     the late-chain acceptance rate must converge near the target."""
