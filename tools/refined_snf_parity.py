@@ -197,7 +197,7 @@ def main():
 
     (forward_model, fparams, y_test, score_post, energy, model, loss_cfg,
      k_init, k_train, k_eval) = _setup()
-    gt = _gt_loader(args.gt_dir)
+    gt = common.gt_loader(args.gt_dir)
 
     if args.train:
         train_long(args, model, loss_cfg, score_post, forward_model, fparams,
