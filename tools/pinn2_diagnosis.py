@@ -46,6 +46,12 @@ def main():
     p.add_argument("--ckpt", default=None)
     p.add_argument("--n_ys", type=int, default=10)
     p.add_argument("--n_samples", type=int, default=30000)
+    p.add_argument("--refine", default=None,
+                   help="override the config's refine spec — e.g. "
+                        "'mala,60,0.05': the random-walk MH rescue fails "
+                        "(travel radius ~sqrt(steps)*std << the 15-1400 "
+                        "sigma excursions) but MALA's gradient drift "
+                        "contracts off-support mass geometrically")
     args = p.parse_args()
 
     config = load_config(args.config)
@@ -67,8 +73,8 @@ def main():
     print(f"resolved checkpoint: {ckpt}", flush=True)
 
     energy = lambda x, yy: prob.log_posterior(x, yy)[:, 0]
-    refined, tag = from_config(model, energy, str(config.get("refine",
-                                                             "mh,20,0.2")))
+    spec = args.refine or str(config.get("refine", "mh,20,0.2"))
+    refined, tag = from_config(model, energy, spec)
 
     def make_stats(m):
         def stats(k, y):
