@@ -108,19 +108,27 @@ def run(config: dict, gt_dir: str) -> tuple:
         # (configs/config_scatterometry_refined.yml) ties SNF on histogram KL
         # and wins NLPD and sliced-W2 (BENCHMARKS.md).
         from dmip_tpu.models import EnergyRefinedModel
+        from dmip_tpu.models.refined import from_config
 
         energy = lambda x, yt: scat.get_log_posterior(
             x, forward_model, fparams["a"], fparams["b"], yt,
             fparams["lambd_bd"],
         )
-        refined = EnergyRefinedModel(
-            model, energy,
-            refine_steps=int(refine_cfg.get("steps", 5)),
-            kernel=str(refine_cfg.get("kernel", "mh")),
-            noise_std=float(refine_cfg.get("noise_std", 0.4)),
-            stepsize=float(refine_cfg.get("stepsize", 5e-3)),
-            lang_steps=int(refine_cfg.get("lang_steps", 1)),
-        )
+        if isinstance(refine_cfg, str):
+            # string grammar (models/refined.from_config) — supports the
+            # round-4 annealed/tempered options, e.g. 'mh,20,0.2,anneal=0.5'
+            refined, _tag = from_config(model, energy, refine_cfg)
+        else:
+            refined = EnergyRefinedModel(
+                model, energy,
+                refine_steps=int(refine_cfg.get("steps", 5)),
+                kernel=str(refine_cfg.get("kernel", "mh")),
+                noise_std=float(refine_cfg.get("noise_std", 0.4)),
+                stepsize=float(refine_cfg.get("stepsize", 5e-3)),
+                lang_steps=int(refine_cfg.get("lang_steps", 1)),
+                anneal_from=float(refine_cfg.get("anneal_from", 1.0)),
+                anneal_to=float(refine_cfg.get("anneal_to", 1.0)),
+            )
         r_out = config["out_dir"] + "_refined"
         os.makedirs(r_out, exist_ok=True)
         r_metrics = evaluate.evaluate_scatterometry(

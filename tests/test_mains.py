@@ -110,7 +110,9 @@ def test_main_diffusion_scatterometry_refined_cosine(tmp_path):
         train_dir=str(tmp_path / "train"), out_dir=str(tmp_path / "out"),
         lr=1e-3, lr_schedule="cosine", lr_min_ratio=0.01,
         hidden_layers=[32, 32], plot_ys=[], epochs_per_call=3, n_repeats=2,
-        refine={"kernel": "mh", "steps": 3, "noise_std": 0.1},
+        # string grammar exercises the round-4 annealed-chain path
+        # (mh,3,0.1 with lam 0.5 -> 1) through models/refined.from_config
+        refine="mh,3,0.1,anneal=0.5",
     )
     params, (kl, nlpd, mse) = m.run(cfg, gt_dir)
     assert np.isfinite(kl) and np.isfinite(nlpd) and np.isfinite(mse)
