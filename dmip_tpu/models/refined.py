@@ -110,6 +110,15 @@ class EnergyRefinedModel:
             raise ValueError(
                 f"kernel must be 'mh', 'mala' or 'ula', got {self.kernel!r}"
             )
+        if self.kernel != "mh" and (
+            self.anneal_from < 1.0 or self.anneal_to != 1.0
+            or self.target_acc > 0.0
+        ):
+            raise ValueError(
+                "anneal_from/anneal_to/target_acc are implemented for the "
+                "random-walk MH kernel only (mcmc.annealed_mh); got "
+                f"kernel={self.kernel!r}"
+            )
 
     # -- DiffusionModel surface -------------------------------------------
     @property

@@ -189,6 +189,11 @@ def test_surface_delegation_and_validation(key):
     )
     with pytest.raises(ValueError):
         EnergyRefinedModel(base, _energy, kernel="hmc")
+    # annealed/tempered/adaptive options are MH-only
+    with pytest.raises(ValueError):
+        EnergyRefinedModel(base, _energy, kernel="mala", anneal_from=0.5)
+    with pytest.raises(ValueError):
+        EnergyRefinedModel(base, _energy, kernel="ula", target_acc=0.4)
 
 
 def test_refined_through_eval_harness(key, tmp_path):
