@@ -193,11 +193,19 @@ def main():
                    help="proposal checkpoint dir (default: the 500k-epoch "
                         "checkpoint_xlong; e.g. benchmarks/checkpoints/"
                         "cde_20k_best for the reference-schedule proposal)")
+    p.add_argument("--eval_seed", type=int, default=0,
+                   help="fold an offset into the evaluation key — an "
+                        "INDEPENDENT sampler/metric noise stream for "
+                        "reproducibility checks (tags outputs _s<seed>)")
     args = p.parse_args()
 
     (forward_model, fparams, y_test, score_post, energy, model, loss_cfg,
      k_init, k_train, k_eval) = _setup()
     gt = common.gt_loader(args.gt_dir)
+    if args.eval_seed:
+        import jax
+
+        k_eval = jax.random.fold_in(k_eval, args.eval_seed)
 
     if args.train:
         train_long(args, model, loss_cfg, score_post, forward_model, fparams,
@@ -211,6 +219,8 @@ def main():
     ctag = ""
     if args.ckpt_dir:
         ctag = "_" + os.path.basename(os.path.normpath(args.ckpt_dir))
+    if args.eval_seed:
+        ctag += f"_s{args.eval_seed}"
 
     if args.sweep:
         params = load_params(model, k_init, args.ckpt_dir)
