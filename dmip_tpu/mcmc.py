@@ -140,6 +140,7 @@ def annealed_mh(
     lambda1: float = 1.0,
     target_acc: float | None = None,
     adapt_rate: float = 1.0,
+    anneal_frac: float = 1.0,
 ) -> Tuple[Array, dict]:
     """Random-walk MH chain whose target ANNEALS through the interpolated
     energies ``lam * E(x) + (1 - lam) * ||x||^2 / 2`` — the SNF stochastic
@@ -152,6 +153,15 @@ def annealed_mh(
     reach lam=1 stationarity either).  ``lambda0=lambda1=1.0`` degenerates
     to a fixed-target chain equivalent in distribution to
     :func:`anneal_to_energy`.
+
+    ``anneal_frac < 1`` is ANNEAL-THEN-POLISH: the ramp runs over the first
+    ``round(anneal_frac * steps)`` steps only, after which the remaining
+    steps hold the FINAL target (``lambda1``).  This probes the trade-off
+    between the annealed schedule's forward-histogram-KL win (early
+    wide-target steps keep the population slightly smoother) and the
+    fixed-target chain's NLPD/W2 fidelity (late exact-target steps restore
+    it) — see BENCHMARKS.md's round-4 anneal trade-off section.
+    ``anneal_frac=1.0`` is the plain linear schedule.
 
     ``target_acc`` (e.g. 0.4) turns on per-call proposal adaptation: after
     every step the shared log proposal-std moves by
@@ -172,11 +182,18 @@ def annealed_mh(
     """
     e_post = energy(x_curr)
     e_prior = 0.5 * jnp.sum(x_curr**2, axis=1)
-    lambdas = (
-        jnp.linspace(lambda0, lambda1, steps)
-        if steps > 1
-        else jnp.full((steps,), lambda1, x_curr.dtype)
-    )
+    n_ramp = max(2, round(anneal_frac * steps)) if steps > 1 else steps
+    if steps > 1 and n_ramp < steps:
+        lambdas = jnp.concatenate([
+            jnp.linspace(lambda0, lambda1, n_ramp),
+            jnp.full((steps - n_ramp,), lambda1),
+        ]).astype(x_curr.dtype)
+    else:
+        lambdas = (
+            jnp.linspace(lambda0, lambda1, steps)
+            if steps > 1
+            else jnp.full((steps,), lambda1, x_curr.dtype)
+        )
 
     def step(carry, inp):
         k, lam, t = inp

@@ -83,6 +83,13 @@ class EnergyRefinedModel:
     # jumping straight to lam=1 — SNF's own mechanism applied to the
     # refinement chain (round-3 verdict's untried lever).
     anneal_from: float = 1.0
+    # Anneal-then-polish (kernel='mh' only, meaningful with anneal_from<1):
+    # the lambda ramp runs over the first round(anneal_frac*refine_steps)
+    # steps, the remaining steps hold the final target — trading the
+    # annealed schedule's forward-KL smoothing against the fixed-target
+    # chain's NLPD/W2 fidelity (mcmc.annealed_mh; BENCHMARKS.md round-4
+    # anneal trade-off section).  1.0 = plain linear schedule.
+    anneal_frac: float = 1.0
     # Tempered refinement (kernel='mh' only): the chain's FINAL target is
     # the interpolated energy at this lambda.  anneal_to < 1 leaves the
     # population stationed on posterior^lam x prior^(1-lam) — slightly
@@ -112,12 +119,16 @@ class EnergyRefinedModel:
             )
         if self.kernel != "mh" and (
             self.anneal_from < 1.0 or self.anneal_to != 1.0
-            or self.target_acc > 0.0
+            or self.target_acc > 0.0 or self.anneal_frac < 1.0
         ):
             raise ValueError(
-                "anneal_from/anneal_to/target_acc are implemented for the "
-                "random-walk MH kernel only (mcmc.annealed_mh); got "
-                f"kernel={self.kernel!r}"
+                "anneal_from/anneal_to/anneal_frac/target_acc are "
+                "implemented for the random-walk MH kernel only "
+                f"(mcmc.annealed_mh); got kernel={self.kernel!r}"
+            )
+        if not 0.0 < self.anneal_frac <= 1.0:
+            raise ValueError(
+                f"anneal_frac must be in (0, 1], got {self.anneal_frac}"
             )
 
     # -- DiffusionModel surface -------------------------------------------
@@ -162,6 +173,7 @@ class EnergyRefinedModel:
                     noise_std=self.noise_std, lambda0=self.anneal_from,
                     lambda1=self.anneal_to,
                     target_acc=self.target_acc if self.target_acc > 0 else None,
+                    anneal_frac=self.anneal_frac,
                 )
             else:
                 x_out, _ = mcmc.anneal_to_energy(
@@ -210,7 +222,9 @@ def from_config(model, energy, cfg_str: str):
     ``anneal=L`` starts the MH chain at interpolated-energy lambda=L (SNF's
     schedule, mcmc.annealed_mh), ``lend=L`` ends it at lambda=L (tempered
     refinement: <1 leaves the population on the slightly prior-blended
-    target), ``acc=A`` adapts the proposal std toward mean acceptance A per
+    target), ``afrac=F`` runs the lambda ramp over the first F of the steps
+    and polishes at the final target for the rest (anneal-then-polish),
+    ``acc=A`` adapts the proposal std toward mean acceptance A per
     condition.  Used by the experiment tools (via tools/common) and by the
     mains' ``refine:`` config key.
     """
@@ -228,6 +242,7 @@ def from_config(model, energy, cfg_str: str):
     tau = float(positional[1]) if len(positional) > 1 else 0.0
     anneal = named.pop("anneal", 1.0)
     lend = named.pop("lend", 1.0)
+    afrac = named.pop("afrac", 1.0)
     acc = named.pop("acc", 0.0)
     if named:
         raise ValueError(f"unknown refinement options: {sorted(named)}")
@@ -242,11 +257,13 @@ def from_config(model, energy, cfg_str: str):
     refined = EnergyRefinedModel(model, energy, refine_steps=steps,
                                  kernel=kernel, refine_frac=frac,
                                  smooth_tau=tau, anneal_from=anneal,
-                                 anneal_to=lend, target_acc=acc, **kw)
+                                 anneal_to=lend, anneal_frac=afrac,
+                                 target_acc=acc, **kw)
     tag = (f"{kernel}{steps}_{param}"
            + (f"_f{frac}" if frac < 1.0 else "")
            + (f"_tau{tau}" if tau > 0.0 else "")
            + (f"_a{anneal}" if anneal < 1.0 else "")
            + (f"_e{lend}" if lend != 1.0 else "")
+           + (f"_af{afrac}" if afrac < 1.0 else "")
            + (f"_acc{acc}" if acc > 0.0 else ""))
     return refined, tag

@@ -112,6 +112,25 @@ def test_annealed_mh_schedule_targets_final_energy(key):
     np.testing.assert_allclose(np.cov(xs.T), 0.5 * np.eye(2), atol=0.05)
 
 
+def test_annealed_mh_anneal_then_polish(key):
+    """anneal_frac=0.5: the lambda ramp covers the first half of the chain,
+    the second half polishes at the final target — the endpoint statistics
+    must match the fully-annealed chain's (the final target is the same)."""
+    m = jnp.array([2.0, 2.0])
+    energy = lambda x: jnp.sum((x - m) ** 2, axis=1)  # N(m, 0.5 I)
+    k0, kr = jax.random.split(key)
+    x0 = jax.random.normal(k0, (20_000, 2))
+    x, info = jax.jit(
+        lambda k, x: mcmc.annealed_mh(
+            k, x, energy, 400, noise_std=0.4, lambda0=0.0, anneal_frac=0.5
+        )
+    )(kr, x0)
+    xs = np.asarray(x)
+    np.testing.assert_allclose(xs.mean(0), np.asarray(m), atol=0.05)
+    np.testing.assert_allclose(np.cov(xs.T), 0.5 * np.eye(2), atol=0.05)
+    assert info["acc_rate"].shape == (400,)
+
+
 def test_annealed_mh_tempered_endpoint(key):
     """lambda1 < 1 (tempered refinement) stations the chain on the
     prior-blended target: E_post = ||x||^2 (N(0, 0.5 I)) at lambda1=0.5

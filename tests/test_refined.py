@@ -162,6 +162,9 @@ def test_parity_tool_config_grammar():
     m, tag = build(base, _energy, "mh,20,0.2,anneal=0.5,acc=0.4")
     assert m.anneal_from == 0.5 and m.target_acc == 0.4
     assert m.refine_frac == 1.0 and tag == "mh20_0.2_a0.5_acc0.4"
+    m, tag = build(base, _energy, "mh,30,0.2,anneal=0.5,afrac=0.5")
+    assert m.anneal_from == 0.5 and m.anneal_frac == 0.5
+    assert tag == "mh30_0.2_a0.5_af0.5"
     with pytest.raises(ValueError):
         build(base, _energy, "mh,20,0.2,bogus=1")
 
@@ -194,6 +197,10 @@ def test_surface_delegation_and_validation(key):
         EnergyRefinedModel(base, _energy, kernel="mala", anneal_from=0.5)
     with pytest.raises(ValueError):
         EnergyRefinedModel(base, _energy, kernel="ula", target_acc=0.4)
+    with pytest.raises(ValueError):
+        EnergyRefinedModel(base, _energy, kernel="mala", anneal_frac=0.5)
+    with pytest.raises(ValueError):
+        EnergyRefinedModel(base, _energy, anneal_frac=0.0)
 
 
 def test_refined_through_eval_harness(key, tmp_path):
