@@ -218,6 +218,102 @@ def bench_train() -> None:
     )
 
 
+def _measure_ensemble(loss_name: str, extra_cfg: dict, k: int) -> float:
+    """Wall-clock seconds for TRAIN_EPOCHS epochs of a k-trial ensemble
+    (one 3x3 lam/lam2 grid block when k=9) on the reference workload."""
+    import itertools
+
+    import optax
+
+    from dmip_tpu import data, ensemble
+    from dmip_tpu.problems import LinearForwardProblem
+
+    prob = LinearForwardProblem()
+    key = jax.random.PRNGKey(0)
+    xs, ys = data.generate_dataset_linear(
+        key, prob.xdim, prob.forward, TRAIN_BATCHES * TRAIN_BATCH
+    )
+    model, cfg = get_model_from_args(
+        {"model": "CDE", "loss_fn": loss_name,
+         "hidden_layers": [512, 512, 512], **extra_cfg},
+        {"xdim": 2, "ydim": 2},
+    )
+    pairs = list(itertools.product([1e-4, 1e-3, 1e-2], [1e-3, 1e-2, 1e-1]))
+    pairs = pairs[:k]
+    lams = jnp.asarray([p[0] for p in pairs], jnp.float32)
+    lam2s = jnp.asarray([p[1] for p in pairs], jnp.float32)
+
+    optimizer = optax.adam(1e-4)
+    epc = 20
+    loss_kwargs = {}
+    if loss_name != "DSM":
+        loss_kwargs = {"initial_condition": prob.score_posterior}
+    epoch_fn = ensemble.make_ensemble_epoch_fn(
+        model, cfg, optimizer,
+        lambda kk: data.linear_epoch_batches(kk, xs, ys, prob.noise_std,
+                                             TRAIN_BATCH),
+        epochs_per_call=epc,
+        loss_kwargs=loss_kwargs,
+        donate=False,
+    )
+    ens_params = ensemble.init_ensemble(model, key, len(pairs))
+    opt_state = jax.vmap(optimizer.init)(ens_params)
+    n_active = jnp.asarray(epc, jnp.int32)
+    # two blocking warmups (compile + first post-init tunnel dispatch)
+    out = epoch_fn(ens_params, opt_state, key, 0, lams, lam2s, n_active)
+    jax.block_until_ready(out)
+    out = epoch_fn(out[0], out[1], key, 0, lams, lam2s, n_active)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    p, o = out[0], out[1]
+    for c in range(TRAIN_EPOCHS // epc):
+        p, o, losses, _ = epoch_fn(p, o, key, (c + 1) * epc, lams, lam2s,
+                                   n_active)
+    jax.block_until_ready(losses)
+    return time.time() - t0
+
+
+def bench_ensemble() -> None:
+    """Trial-parallel (ensemble) grid-training throughput on ONE chip:
+    K same-structure trials (the grid's 3x3 lam/lam2 block,
+    dmip_tpu/ensemble.py) trained as ONE vmapped jitted program vs K
+    sequential runs (the reference trains grids strictly sequentially,
+    model_selection.py:16-64).  vs_baseline = K * t_single / t_ensemble.
+
+    Measured crossover (BENCHMARKS.md): stacking pays only while a single
+    trial leaves the chip idle — DSM (26% single-trial MFU) gains ~2x,
+    PINN (56%) measures ~0.75x, so single-chip grids should ensemble DSM
+    blocks and run PINN blocks sequentially; on a multi-chip mesh the trial
+    axis shards with zero cross-trial communication either way."""
+    k = 9
+    t_dsm_ens = _measure_ensemble("DSM", {}, k)
+    t_dsm_single = TRAIN_EPOCHS / _measure_train("DSM", {})
+    t_pinn_ens = _measure_ensemble("PINNLoss", {"lam": 0.1, "lam2": 1.0}, k)
+    t_pinn_single = TRAIN_EPOCHS / _measure_train(
+        "PINNLoss", {"lam": 0.1, "lam2": 1.0}
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_trials_speedup_dsm",
+                "value": k * t_dsm_single / t_dsm_ens,
+                "unit": "x (K * t_single / t_ensemble)",
+                "vs_baseline": k * t_dsm_single / t_dsm_ens,
+                "n_trials": k,
+                "dsm_ensemble_seconds": t_dsm_ens,
+                "dsm_single_trial_seconds": t_dsm_single,
+                "pinn_speedup": k * t_pinn_single / t_pinn_ens,
+                "pinn_ensemble_seconds": t_pinn_ens,
+                "pinn_single_trial_seconds": t_pinn_single,
+                "device": str(jax.devices()[0]),
+                "workload": f"{k} trials x {TRAIN_EPOCHS} epochs x "
+                            f"{TRAIN_BATCHES} batches x {TRAIN_BATCH}",
+            }
+        )
+    )
+
+
 def bench_dps() -> None:
     """Analytic-guidance DPS sampling throughput: the fused guided kernel
     (ops/dps_kernel.py — per step: prior fwd, 3 surrogate VJPs, 3 prior
@@ -454,6 +550,8 @@ if __name__ == "__main__":
         bench_refined()
     elif "--mh" in sys.argv[1:]:
         bench_mh()
+    elif "--ensemble" in sys.argv[1:]:
+        bench_ensemble()
     elif "--main-only" in sys.argv[1:]:
         main()
     else:
@@ -462,7 +560,8 @@ if __name__ == "__main__":
         # the full throughput picture (round-4 verdict #8).  Each extra
         # mode is best-effort — a failure must not invalidate line 1.
         main()
-        for fn in (bench_train, bench_refined, bench_mh, bench_dps):
+        for fn in (bench_train, bench_refined, bench_mh, bench_dps,
+                   bench_ensemble):
             try:
                 fn()
             except Exception as e:  # pragma: no cover - device-dependent

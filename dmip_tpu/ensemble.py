@@ -12,8 +12,13 @@ mesh the trial axis shards: each chip trains n_trials/n_devices trials with
 zero cross-trial communication.
 
 Per-trial results are numerically equivalent to the sequential runs (tested
-in tests/test_ensemble.py); K trials cost ~1 trial's wall-clock on K chips,
-or ~the batched-matmul speedup of stacking on one chip.
+in tests/test_ensemble.py); K trials cost ~1 trial's wall-clock on K chips
+(the trial axis shards with zero cross-trial communication).  On ONE chip,
+stacking pays only while a single trial leaves the chip idle — measured at
+the 512x3/batch-1000 reference workload (bench.py --ensemble, BENCHMARKS.md
+training-roofline section): DSM (26% single-trial MFU) gains 2.0x at K=9,
+PINN (56% single-trial MFU) measures 0.74x — so single-chip grids should
+stack DSM-like blocks and run near-saturated losses sequentially.
 """
 
 from __future__ import annotations
