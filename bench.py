@@ -153,15 +153,64 @@ def _measure_train(loss_name: str, extra_cfg: dict,
     return total_epochs / (time.time() - t0)
 
 
+def _measure_train_fused(total_epochs: int = TRAIN_EPOCHS) -> float:
+    """Epochs/s for the fused Pallas DSM kernel (ops/dsm_train_kernel.py)
+    on the same workload as ``_measure_train('DSM', {})``."""
+    from dmip_tpu import data
+    from dmip_tpu.ops.dsm_train_kernel import make_fused_dsm_epoch_fn
+    from dmip_tpu.problems import LinearForwardProblem
+
+    import optax
+
+    prob = LinearForwardProblem()
+    key = jax.random.PRNGKey(0)
+    xs, ys = data.generate_dataset_linear(
+        key, prob.xdim, prob.forward, TRAIN_BATCHES * TRAIN_BATCH
+    )
+    model, _ = get_model_from_args(
+        {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [512, 512, 512]},
+        {"xdim": 2, "ydim": 2},
+    )
+    lr = 1e-4
+    epc = 20
+    epoch_fn = make_fused_dsm_epoch_fn(
+        model, lr,
+        lambda k: data.linear_epoch_batches(k, xs, ys, prob.noise_std,
+                                            TRAIN_BATCH),
+        epochs_per_call=epc, donate=False,
+    )
+    params = model.init(key)
+    opt_state = optax.adam(lr).init(params)
+    out = epoch_fn(params, opt_state, key, 0)
+    jax.block_until_ready(out)
+    out = epoch_fn(out[0], out[1], key, 0)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    p, o = out[0], out[1]
+    for c in range(total_epochs // epc):
+        p, o, losses, _ = epoch_fn(p, o, key, (c + 1) * epc)
+    jax.block_until_ready(losses)
+    return total_epochs / (time.time() - t0)
+
+
 def bench_train() -> None:
     """DSM + PINN training throughput vs the measured torch baselines
     (benchmarks/torch_train_baseline.json), with the roofline accounting
     of round-4 verdict #3: TFLOP/s and %-of-peak per loss, plus the
     batch-scaling MFU ceiling (DSM at batch 16k — the measured saturation
-    point of this 512x3 workload; see BENCHMARKS.md training roofline)."""
+    point of this 512x3 workload; see BENCHMARKS.md training roofline).
+    Also reports the fused whole-epochs-on-chip Pallas DSM kernel
+    (ops/dsm_train_kernel.py): it measures AT the XLA path's rate, the
+    decisive evidence that batch-1000 training is bound by the per-step
+    serial dependency chain + params-proportional VPU state work, not by
+    HBM round-trips (BENCHMARKS.md round-4 train-step decomposition)."""
     pinn = _measure_train("PINNLoss", {"lam": 0.1, "lam2": 1.0})
     dsm = _measure_train("DSM", {})
     dsm_16k = _measure_train("DSM", {}, batch=16000, n_batches=5)
+    try:
+        dsm_fused = _measure_train_fused()
+    except Exception:  # pragma: no cover - device-dependent
+        dsm_fused = None
 
     try:
         dsm_fpe = _train_flops_per_epoch("DSM", {}, TRAIN_BATCH,
@@ -209,6 +258,9 @@ def bench_train() -> None:
                 "dsm_pct_peak": dsm_pct,
                 "dsm_batch16k_tflops": d16_tf,
                 "dsm_batch16k_pct_peak": d16_pct,
+                "dsm_fused_kernel_epochs_per_sec": dsm_fused,
+                "dsm_fused_tflops": mfu(dsm_fused, dsm_fpe)[0]
+                if dsm_fused else None,
                 "peak_ref_tflops": V5E_BF16_PEAK / 1e12,
                 "device": str(jax.devices()[0]),
                 "workload": f"{TRAIN_EPOCHS} epochs x {TRAIN_BATCHES} "

@@ -17,6 +17,23 @@ runs ENTIRE EPOCHS on-chip:
     activations, as ops/dps_kernel.py) + the adam update + the
     skip-nonfinite guard fuse into ONE program per optimizer step.
 
+MEASURED OUTCOME (round 4, v5e via tunnel; BENCHMARKS.md "train-step
+decomposition"): the fused kernel runs AT the XLA path's rate — 181 vs 183
+epochs/s at the reference workload — which REFUTES the HBM hypothesis.  The
+decomposition shows where the 61 us/step actually go: the serial
+fwd+bwd+update matmul chain alone measures 24.3 us/step (66% of bf16 peak;
+the dependency-chain floor), tanh and a fused adam add ~2.5 us, data/
+diffusion prep ~8-11 us, the isfinite guard 4.7 us (measured via
+skip_nonfinite=False: 195 vs 181 epochs/s), and the rest is
+params-proportional VPU state work (adam on 2.4 MB of f32 moments, per-use
+f32->bf16 weight casts) that cannot overlap the MXU inside a sequential
+optimizer step.  XLA's epoch scan already runs at this bound; eliminating
+the HBM round-trips is worth <2%.  The kernel therefore ships as (a) the
+measurement instrument behind that bound, and (b) a parity-tested
+alternative epoch engine; the measured levers for grid-scale throughput
+remain ensemble stacking (2.0x at K=9, dmip_tpu/ensemble.py) and batch
+scaling (41.6% MFU at 16k, bench.py --train).
+
 The wrapper (:func:`make_fused_dsm_epoch_fn`) precomputes the diffusion
 randomness (t, eps -> net input h0 and the DSM scale std/g) with EXACTLY the
 same key schedule as ``train.make_epoch_fn`` + the DSM branch of
