@@ -348,10 +348,14 @@ def make_fused_dsm_epoch_fn(
     epochs_per_call: int = 1,
     compute_dtype=jnp.bfloat16,
     skip_nonfinite: bool = True,
-    interpret: bool = False,
+    interpret="auto",
     donate: bool = True,
 ):
     """Drop-in fused replacement for ``train.make_epoch_fn`` (DSM + adam).
+
+    ``interpret="auto"`` (default) runs the kernel natively on TPU and in
+    the TPU-semantics interpreter on CPU — so the same config works under
+    the test suite's virtual-CPU platform and on device.
 
     Returns epochs(params, opt_state, key, epoch0, n_active) with the same
     signature/semantics as the XLA path: the key schedule (per-epoch
@@ -370,6 +374,8 @@ def make_fused_dsm_epoch_fn(
     """
     from ..sde import sample_t
 
+    if interpret == "auto":
+        interpret = jax.devices()[0].platform == "cpu"
     base = model.sde.base
 
     def prep_epoch(ekey):

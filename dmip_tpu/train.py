@@ -225,6 +225,64 @@ def make_epoch_fn(
     return fn
 
 
+def select_epoch_fn(
+    config: Dict[str, Any],
+    model,
+    loss_fn,
+    optimizer,
+    batch_fn: Callable[..., Tuple[Array, Array]],
+    epochs_per_call: int,
+):
+    """Build the epoch engine the config asks for.
+
+    ``train_backend: xla`` (default) — :func:`make_epoch_fn`, the jitted
+    whole-epoch scan, with optional data-parallel ``mesh``.
+    ``train_backend: fused_pallas`` — the whole-epochs-on-chip Pallas DSM
+    kernel (ops/dsm_train_kernel.py; measured at XLA-path parity, see its
+    docstring).  Only valid for the DSM fast path: loss_fn 'DSM', plain
+    adam at a constant lr (no grad_clip / cosine schedule), CDE or CDiffE
+    model, single device.  Invalid combinations raise with the reason
+    rather than silently falling back.
+    """
+    backend = config.get("train_backend", "xla")
+    if backend == "xla":
+        return make_epoch_fn(
+            loss_fn,
+            optimizer,
+            batch_fn,
+            epochs_per_call=epochs_per_call,
+            mesh=config.get("mesh", "auto"),
+        )
+    if backend == "fused_pallas":
+        problems = []
+        if config.get("loss_fn") != "DSM":
+            problems.append(f"loss_fn must be 'DSM', got {config.get('loss_fn')!r}")
+        if config.get("model") not in ("CDE", "CDiffE"):
+            problems.append(f"model must be CDE/CDiffE, got {config.get('model')!r}")
+        if config.get("grad_clip"):
+            problems.append("grad_clip is not supported")
+        if config.get("lr_schedule", "constant") not in (None, "constant"):
+            problems.append("lr_schedule must be constant")
+        if resolve_mesh(config.get("mesh", "auto")) is not None:
+            problems.append(
+                "multi-device mesh is not supported (use train_backend: xla "
+                "for data parallelism)"
+            )
+        if problems:
+            raise ValueError(
+                "train_backend: fused_pallas — " + "; ".join(problems)
+            )
+        from .ops.dsm_train_kernel import make_fused_dsm_epoch_fn
+
+        return make_fused_dsm_epoch_fn(
+            model, float(config.get("lr", 1e-4)), batch_fn,
+            epochs_per_call=epochs_per_call,
+        )
+    raise ValueError(
+        f"unknown train_backend {backend!r}; options: 'xla', 'fused_pallas'"
+    )
+
+
 def fit(
     epoch_fn,
     params,

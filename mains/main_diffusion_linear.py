@@ -58,15 +58,17 @@ def run(config: dict) -> tuple:
 
     log_dir = set_directories(config["train_dir"], config["out_dir"], resume)
     epc = int(config.get("epochs_per_call", 25))
-    epoch_fn = train.make_epoch_fn(
+    # train_backend: 'xla' (default; data-parallel over all visible
+    # devices) or 'fused_pallas' (DSM-only whole-epochs-on-chip kernel)
+    epoch_fn = train.select_epoch_fn(
+        config,
+        model,
         loss_fn,
         optimizer,
         lambda k: data.linear_epoch_batches(
             k, x_train, y_train, prob.noise_std, int(config["batch_size"])
         ),
         epochs_per_call=epc,
-        # data-parallel over all visible devices (single-device: no-op)
-        mesh=config.get("mesh", "auto"),
     )
     with MetricsWriter(log_dir) as logger:
         params, opt_state, _ = train.fit(

@@ -66,7 +66,11 @@ def run(config: dict, gt_dir: str) -> tuple:
 
     log_dir = set_directories(config["train_dir"], config["out_dir"], resume)
     epc = int(config.get("epochs_per_call", 100))
-    epoch_fn = train.make_epoch_fn(
+    # train_backend: 'xla' (default; data-parallel over all visible
+    # devices) or 'fused_pallas' (DSM-only whole-epochs-on-chip kernel)
+    epoch_fn = train.select_epoch_fn(
+        config,
+        model,
         loss_fn,
         optimizer,
         lambda k: data.scatterometry_epoch_batches(
@@ -74,8 +78,6 @@ def run(config: dict, gt_dir: str) -> tuple:
             int(config["batch_size"]),
         ),
         epochs_per_call=epc,
-        # data-parallel over all visible devices (single-device: no-op)
-        mesh=config.get("mesh", "auto"),
     )
     with MetricsWriter(log_dir) as logger:
         params, opt_state, _ = train.fit(

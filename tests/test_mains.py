@@ -288,3 +288,65 @@ def test_main_baselines_scatterometry_e2e_and_eval_only(tmp_path):
     for k in mean:
         np.testing.assert_allclose(mean2[k], mean[k], rtol=1e-5, err_msg=k)
     assert log_file.exists() and log_file.stat().st_size == log_bytes
+
+
+def test_main_diffusion_linear_fused_backend(tmp_path):
+    """train_backend: fused_pallas runs the whole main e2e (interpret mode
+    on the CPU test platform) and lands near the XLA backend's trained
+    params.  The tolerance is bf16-matmul scale: the backend keeps its
+    product compute dtype (bf16, what runs on TPU) while CPU XLA computes
+    f32; exact parity at matched dtype is covered by
+    tests/test_dsm_train_kernel.py."""
+    import jax
+    import numpy as np
+
+    import main_diffusion_linear as m
+
+    small = dict(n_samples_x=500, dataset_size=900, batch_size=100,
+                 n_epochs=4, epochs_per_call=2, plot_ys=[], n_repeats=1)
+    cfg_x = _linear_cfg(tmp_path / "xla", **small)
+    # mesh=None: the test platform exposes 8 virtual devices, so 'auto'
+    # would resolve to a mesh the fused (single-device) backend rejects
+    cfg_f = _linear_cfg(tmp_path / "fused", train_backend="fused_pallas",
+                        mesh=None, **small)
+    params_x, metrics_x = m.run(cfg_x)
+    params_f, metrics_f = m.run(cfg_f)
+    assert np.isfinite(metrics_f[0])
+    d = max(
+        float(jax.numpy.max(jax.numpy.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(params_x),
+                        jax.tree_util.tree_leaves(params_f))
+    )
+    assert d < 2e-2, f"fused-vs-xla param drift {d}"
+
+
+def test_select_epoch_fn_rejects_invalid_fused_configs():
+    """The fused backend refuses non-DSM / scheduled / clipped configs with
+    the reason, instead of silently falling back."""
+    import optax
+    import pytest as _pytest
+
+    from dmip_tpu.train import get_model_from_args, select_epoch_fn
+
+    model, cfg = get_model_from_args(
+        {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [8]},
+        {"xdim": 2, "ydim": 2},
+    )
+    loss_fn = model.make_loss_fn(cfg)
+    opt = optax.adam(1e-3)
+    bad = [
+        ({"loss_fn": "PINNLoss", "model": "CDE", "mesh": None}, "loss_fn"),
+        ({"loss_fn": "DSM", "model": "Posterior", "mesh": None}, "model"),
+        ({"loss_fn": "DSM", "model": "CDE", "mesh": None,
+          "grad_clip": 1.0}, "grad_clip"),
+        ({"loss_fn": "DSM", "model": "CDE", "mesh": None,
+          "lr_schedule": "cosine"}, "lr_schedule"),
+        ({"loss_fn": "DSM", "model": "CDE", "mesh": "auto"}, "mesh"),
+    ]
+    for over, key in bad:
+        config = {"train_backend": "fused_pallas", "lr": 1e-3, **over}
+        with _pytest.raises(ValueError, match="fused_pallas"):
+            select_epoch_fn(config, model, loss_fn, opt, lambda k: None, 2)
+    with _pytest.raises(ValueError, match="unknown train_backend"):
+        select_epoch_fn({"train_backend": "nope"}, model, loss_fn, opt,
+                        lambda k: None, 2)
