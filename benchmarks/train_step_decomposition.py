@@ -199,7 +199,7 @@ def fused_vs_xla():
     xla_fn = train.make_epoch_fn(model.make_loss_fn(cfg), opt, batch_fn,
                                  epochs_per_call=EPC, donate=False)
     rows = [("xla epoch scan", timeit(xla_fn))]
-    for guard in (True, False):
+    for guard in (True, "loss", False):
         fn = make_fused_dsm_epoch_fn(model, lr, batch_fn,
                                      epochs_per_call=EPC, donate=False,
                                      skip_nonfinite=guard)

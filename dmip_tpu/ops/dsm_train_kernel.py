@@ -105,7 +105,7 @@ def _dsm_train_kernel(
     b2: float,
     adam_eps: float,
     compute_dtype,
-    skip_nonfinite: bool,
+    skip_nonfinite,  # True ('grads'), 'loss', or False
 ):
     L = n_layers
     in_refs = wmv_refs[: 6 * L]
@@ -146,7 +146,8 @@ def _dsm_train_kernel(
     out = _mm(h, ws[L - 1], compute_dtype) + bs[L - 1]  # (B, out) f32
 
     r = out * s1 + eps
-    loss_smem[0] = loss_smem[0] + 0.5 * jnp.sum(r * r) * inv_b
+    batch_loss = 0.5 * jnp.sum(r * r) * inv_b
+    loss_smem[0] = loss_smem[0] + batch_loss
 
     # ---- backward (transposed matmuls over saved activations) -------------
     grads = [None] * (2 * L)  # [dW1, db1, dW2, db2, ...]
@@ -160,8 +161,15 @@ def _dsm_train_kernel(
             dz = da * (1.0 - a_prev * a_prev)
 
     # ---- skip-nonfinite guard + epoch masking ------------------------------
+    # 'grads' (exact XLA-path semantics): every gradient checked, measured at
+    # 4.7 us/step. 'loss': one scalar check on the batch loss — catches the
+    # realistic failures (non-finite data / diverged params make the loss
+    # non-finite) at ~zero cost, but misses the exotic finite-loss/
+    # non-finite-grad case (e.g. an inf input cell that tanh saturates).
     do_update = e < nact_ref[0]
-    if skip_nonfinite:
+    if skip_nonfinite == "loss":
+        do_update = jnp.logical_and(do_update, jnp.isfinite(batch_loss))
+    elif skip_nonfinite:
         fin = jnp.bool_(True)
         for g in grads:
             fin = jnp.logical_and(fin, jnp.all(jnp.isfinite(g)))
@@ -215,7 +223,7 @@ def fused_dsm_train_epochs(
     b2: float = 0.999,
     adam_eps: float = 1e-8,
     compute_dtype=jnp.bfloat16,
-    skip_nonfinite: bool = True,
+    skip_nonfinite=True,  # True ('grads' semantics), 'loss', or False
     interpret: bool = False,
 ):
     """Run n_epochs x n_batches fused DSM optimizer steps on-chip.
@@ -347,7 +355,7 @@ def make_fused_dsm_epoch_fn(
     batch_fn: Callable[..., Tuple[Array, Array]],
     epochs_per_call: int = 1,
     compute_dtype=jnp.bfloat16,
-    skip_nonfinite: bool = True,
+    skip_nonfinite=True,  # True ('grads' semantics), 'loss', or False
     interpret="auto",
     donate: bool = True,
 ):

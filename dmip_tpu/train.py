@@ -243,6 +243,11 @@ def select_epoch_fn(
     adam at a constant lr (no grad_clip / cosine schedule), CDE or CDiffE
     model, single device.  Invalid combinations raise with the reason
     rather than silently falling back.
+
+    ``train_guard`` (fused backend only): 'grads' (default — the XLA
+    path's exact skip-nonfinite semantics, measured at 4.7 us/step),
+    'loss' (one scalar check on the batch loss, ~zero cost, catches the
+    realistic non-finite-data/divergence failures), or 'off'.
     """
     backend = config.get("train_backend", "xla")
     if backend == "xla":
@@ -268,6 +273,11 @@ def select_epoch_fn(
                 "multi-device mesh is not supported (use train_backend: xla "
                 "for data parallelism)"
             )
+        guard = config.get("train_guard", "grads")
+        if guard not in ("grads", "loss", "off"):
+            problems.append(
+                f"train_guard must be 'grads'/'loss'/'off', got {guard!r}"
+            )
         if problems:
             raise ValueError(
                 "train_backend: fused_pallas — " + "; ".join(problems)
@@ -277,6 +287,7 @@ def select_epoch_fn(
         return make_fused_dsm_epoch_fn(
             model, float(config.get("lr", 1e-4)), batch_fn,
             epochs_per_call=epochs_per_call,
+            skip_nonfinite={"grads": True, "loss": "loss", "off": False}[guard],
         )
     raise ValueError(
         f"unknown train_backend {backend!r}; options: 'xla', 'fused_pallas'"

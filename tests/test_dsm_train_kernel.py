@@ -179,3 +179,43 @@ def test_fused_loss_decreases(key):
     _, _, losses, _ = fused_fn(params, opt.init(params), key, 0)
     losses = np.asarray(losses)
     assert losses[-1] < losses[0]
+
+
+def test_fused_loss_guard_skips_poisoned_batch(key):
+    """skip_nonfinite='loss' (the cheap scalar guard) skips the NaN batch
+    exactly like the full grads guard on the realistic failure mode
+    (non-finite data -> non-finite loss)."""
+    from dmip_tpu.problems import LinearForwardProblem
+
+    prob = LinearForwardProblem()
+    batch, n_batches = 16, 3
+    xs, ys = data.generate_dataset_linear(
+        key, prob.xdim, prob.forward, n_batches * batch
+    )
+    xs = xs.at[5, 0].set(jnp.nan)
+    model, cfg = get_model_from_args(
+        {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [32, 32]},
+        {"xdim": 2, "ydim": 2},
+    )
+    batch_fn = lambda k: data.linear_epoch_batches(
+        k, xs, ys, prob.noise_std, batch
+    )
+    lr = 1e-3
+    opt = optax.adam(lr)
+    params = model.init(key)
+    outs = {}
+    for guard in (True, "loss"):
+        fn = make_fused_dsm_epoch_fn(
+            model, lr, batch_fn, epochs_per_call=2,
+            compute_dtype=jnp.float32, interpret=True, donate=False,
+            skip_nonfinite=guard,
+        )
+        outs[guard] = fn(params, opt.init(params), key, 0)
+    p_g, o_g = outs[True][0], outs[True][1]
+    p_l, o_l = outs["loss"][0], outs["loss"][1]
+    assert int(o_g[0].count) == int(o_l[0].count) < 6
+    assert _max_diff(p_g, p_l) == 0.0
+    assert all(
+        bool(jnp.all(jnp.isfinite(x)))
+        for x in jax.tree_util.tree_leaves(p_l)
+    )
