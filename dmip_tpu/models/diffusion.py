@@ -162,8 +162,15 @@ class DiffusionModel:
         """Posterior sampler (reference models/diffusion.py:27-46).
 
         method: 'auto' (fused Pallas E-M kernel on TPU, XLA E-M scan
-        elsewhere), 'pallas', 'xla', or 'heun' (second-order
-        probability-flow ODE — samplers.heun_ode; no reference equivalent).
+        elsewhere), 'pallas', 'xla', 'heun' (second-order probability-flow
+        ODE — samplers.heun_ode), or 'expint[:ode|:sde][:1|:2]' (exponential
+        integrators — samplers.exponential_integrator, DPM-Solver family;
+        ~6x fewer net evaluations than 200-step E-M at equal accuracy, see
+        tests/test_samplers.py).  For 'expint', num_steps is the NFE budget
+        minus the final denoise (e.g. num_steps=32 -> 33 net calls); the
+        defaults are the robust SDE order-1 form — 'expint:ode:2' selects
+        the deterministic multistep variant.  No reference equivalent (its
+        only integrator is 200-step E-M, models/diffusion.py:27-46).
 
         compute_dtype ('auto' = bf16) is the Pallas kernel's weight /
         activation dtype; accumulation and the integration state stay f32.
@@ -178,6 +185,22 @@ class DiffusionModel:
             return samplers.heun_ode(
                 self.sde, drift, key, y, num_samples, self.xdim, num_steps,
                 mean=mean, std=std, dtype=dtype,
+            )
+        if method == "expint" or method.startswith("expint:"):
+            ode, order = False, 1
+            for part in method.split(":")[1:]:
+                if part in ("ode", "sde"):
+                    ode = part == "ode"
+                elif part in ("1", "2"):
+                    order = int(part)
+                else:
+                    raise ValueError(
+                        f"bad expint option {part!r} in method {method!r}; "
+                        "grammar is expint[:ode|:sde][:1|:2]")
+            drift = lambda z, c, s: self.apply_a(params, z, c, s)
+            return samplers.exponential_integrator(
+                self.sde, drift, key, y, num_samples, self.xdim, num_steps,
+                mean=mean, std=std, dtype=dtype, ode=ode, order=order,
             )
         if method == "auto":
             method = "pallas" if self._pallas_eligible(params, y) else "xla"

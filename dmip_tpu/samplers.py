@@ -206,6 +206,173 @@ def heun_ode(
     return x_final
 
 
+def _exp_nodes(base, num_steps: int, s_min: float, grid: str, dtype):
+    """Time nodes s_0 = T > s_1 > ... > s_num_steps = s_min for the
+    exponential integrators, plus the closed-form (alpha, sigma) tables.
+
+    grid='uniform' spaces the nodes linearly in s; grid='lambda' (default)
+    spaces them uniformly in the half-log-SNR lambda(s) = log(alpha/sigma)
+    — the DPM-Solver schedule, which concentrates steps where the marginal
+    changes fastest.  Inversion is closed-form for the VP-SDE: from
+    e^{2 lambda} = alpha^2/sigma^2 = e^{-B}/(1 - e^{-B}) follows
+    B(s) = softplus(-2 lambda), and B inverts to s by the same quadratic as
+    :meth:`VPSDE.sample_debiasing_t`.
+    """
+    if grid == "uniform":
+        s = jnp.linspace(base.T, s_min, num_steps + 1, dtype=jnp.float64
+                         if jax.config.jax_enable_x64 else jnp.float32)
+    elif grid == "lambda":
+        def lam(s_):
+            a = base.mean_weight(jnp.asarray(s_))
+            return jnp.log(a) - jnp.log(jnp.sqrt(1.0 - a**2))
+
+        lams = jnp.linspace(lam(base.T), lam(s_min), num_steps + 1)
+        b = jax.nn.softplus(-2.0 * lams)  # = B(s)
+        bd = base.beta_max - base.beta_min
+        s = (-base.beta_min + jnp.sqrt(base.beta_min**2 + 2.0 * bd * b)) / bd
+        # endpoints exactly (the quadratic round-trips to ~1e-7)
+        s = s.at[0].set(base.T).at[-1].set(s_min)
+    else:
+        raise ValueError(f"grid must be 'uniform' or 'lambda', got {grid!r}")
+    alphas = base.mean_weight(s)
+    sigmas = base.std(s)
+    return s.astype(dtype), alphas.astype(dtype), sigmas.astype(dtype)
+
+
+def exponential_integrator(
+    sde: ReverseSDE,
+    drift_a: Callable[[Array, Optional[Array], Array], Array],
+    key: Array,
+    y: Optional[Array],
+    num_samples: int,
+    xdim: int,
+    num_steps: int = 40,
+    mean: float = 0.0,
+    std: float = 1.0,
+    dtype=jnp.float32,
+    noise_scale: float = 1.0,
+    ode: bool = False,
+    order: int = 1,
+    grid: str = "lambda",
+    s_min: Optional[float] = None,
+    final_denoise: bool = True,
+) -> Array:
+    """Exponential integrators for the plug-in reverse process: the linear
+    OU part of the VP reverse SDE/ODE is integrated EXACTLY in closed form
+    and only the learned noise prediction is held (or linearly extrapolated)
+    across each step — so far fewer score-net evaluations reach 200-step
+    Euler-Maruyama accuracy.  Capability the reference lacks (its only
+    integrator is first-order E-M, reference models/diffusion.py:27-46).
+
+    With eps_hat(x, s) = -sigma(s) * a(x, y, s) / g(s) (the noise the DSM
+    loss trains ``a`` to predict, see :func:`dmip_tpu.sde.reverse_sde_dsm`),
+    each step s_i -> s_{i+1} (s decreasing, Phi = alpha_{i+1}/alpha_i,
+    h = lambda_{i+1} - lambda_i > 0) is
+
+      ode=True  (DDIM / DPM-Solver-1):
+        x <- Phi x + (sigma_{i+1} - Phi sigma_i) eps_hat
+      ode=False (SDE exponential Euler / SDE-DPM-Solver-1, default):
+        x <- Phi x + 2 (sigma_{i+1} - Phi sigma_i) eps_hat
+               + sqrt(Phi^2 - 1) z,  z ~ N(0, I)
+
+    both derived by variation-of-constants on this codebase's reverse drift
+    ``mu = g a + 0.5 beta x`` (sde.py ReverseSDE.mu at lmbd 0/1); the noise
+    variance Phi^2 - 1 equals the textbook sigma_{i+1}^2 (e^{2h} - 1).  The
+    SDE form keeps E-M's error-damping noise, which BENCHMARKS.md measured
+    to matter for partially-trained scores (heun_ode caveat).
+
+    order=2 replaces eps_hat with its two-point linear extrapolation to the
+    step midpoint in lambda (the DPM-Solver++(2M) multistep correction):
+    eps_hat_i + (eps_hat_i - eps_hat_{i-1}) * h_i / (2 h_{i-1}); the first
+    step falls back to order 1.
+
+    ``final_denoise=True`` appends one exact denoise-to-mean step
+    x <- (x - sigma eps_hat)/alpha at s_min (one extra net evaluation, so
+    NFE = num_steps + 1): the deterministic limit of the last ancestral
+    step, removing the residual sigma(s_min) blur.  ``s_min`` defaults to
+    the net's training floor ``base.t_epsilon``.
+
+    ``noise_scale=0`` zeroes the SDE noise (testing hook, mirrors
+    euler_maruyama); ``key`` seeds init + noise.  Returns (num_samples, xdim).
+
+    Measured (exact-score linear oracle, 40k samples, moment error; see
+    tests/test_samplers.py): EM-200 = 0.007, EM-16 = 0.071; expint-16
+    sde/o2 = 0.020, expint-32 sde/o1 = 0.009 — i.e. ~6x fewer net
+    evaluations than 200-step E-M at equal accuracy.  Caveat: the SDE form's
+    step coefficient 2(e^h - 1) grows exponentially in the lambda step h, so
+    at very coarse grids it amplifies the extrapolation error — at 8 steps
+    sde/o2 diverges (err 3e3) while ode/o2 is fine (0.055).  Use >= 16 steps
+    for the SDE form, or the ODE form when pushing NFE to the floor.
+
+    With a PARTIALLY-TRAINED score (300-epoch CDE, measured on TPU) the
+    ranking flips to favor the robust defaults: expint-32 sde/o1 = 0.042 vs
+    EM-200 = 0.031 (6x fewer NFE, near-equal accuracy), while 16-step o2
+    variants amplify score error (sde/o2 0.19, ode/o2 3.3) — the same
+    noise-damps-score-error effect as the heun_ode caveat above.
+    """
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order!r}")
+    base = sde.base
+    if s_min is None:
+        s_min = base.t_epsilon
+    k0, kscan = jax.random.split(key)
+    x0 = jax.random.normal(k0, (num_samples, xdim), dtype) * std + mean
+    cond = None
+    if y is not None:
+        cond = jnp.broadcast_to(y.astype(dtype), (num_samples, y.shape[-1]))
+
+    s_nodes, alphas, sigmas = _exp_nodes(base, num_steps, s_min, grid, dtype)
+    lam = jnp.log(alphas) - jnp.log(sigmas)
+    h = lam[1:] - lam[:-1]  # (num_steps,) > 0
+    phi = alphas[1:] / alphas[:-1]
+    c_ode = sigmas[1:] - phi * sigmas[:-1]
+    c_eps = c_ode if ode else 2.0 * c_ode
+    c_n = (jnp.zeros_like(phi) if ode
+           else jnp.sqrt(jnp.maximum(phi**2 - 1.0, 0.0)))
+    s_eval, sig_eval, g_eval = s_nodes[:-1], sigmas[:-1], base.g(s_nodes[:-1])
+
+    if final_denoise:
+        # exact denoise-to-mean: x_0 = (x - sigma eps_hat)/alpha at s_min
+        phi_f = 1.0 / alphas[-1]
+        s_eval = jnp.concatenate([s_eval, s_nodes[-1:]])
+        sig_eval = jnp.concatenate([sig_eval, sigmas[-1:]])
+        g_eval = jnp.concatenate([g_eval, base.g(s_nodes[-1:])])
+        phi = jnp.concatenate([phi, phi_f[None]])
+        c_eps = jnp.concatenate([c_eps, (-phi_f * sigmas[-1])[None]])
+        c_n = jnp.concatenate([c_n, jnp.zeros((1,), c_n.dtype)])
+        h = jnp.concatenate([h, h[-1:]])  # placeholder; c2 zeroed below
+
+    n_steps_real = num_steps  # integration steps, excluding the denoise
+    n_total = phi.shape[0]
+    h_prev = jnp.concatenate([jnp.ones((1,), h.dtype), h[:-1]])
+    # order-2 midpoint-extrapolation weight; 0 on the first step AND on the
+    # final denoise (the exact denoise-to-mean uses eps_hat(s_min) itself —
+    # the multistep correction targets a step midpoint that does not exist
+    # for the jump to the mean)
+    c2 = (jnp.where((jnp.arange(n_total) == 0)
+                    | (jnp.arange(n_total) >= n_steps_real),
+                    0.0, h / (2.0 * h_prev))
+          if order == 2 else jnp.zeros((n_total,), h.dtype))
+    keys = jax.random.split(kscan, n_total)
+
+    def step(carry, inp):
+        x, eps_prev = carry
+        s_i, sig_i, g_i, phi_i, ce_i, cn_i, c2_i, k = inp
+        s_col = jnp.full((num_samples, 1), s_i, dtype)
+        eps_hat = -sig_i * drift_a(x, cond, s_col) / g_i
+        eps_use = eps_hat + c2_i * (eps_hat - eps_prev)
+        z = noise_scale * jax.random.normal(k, x.shape, dtype)
+        x_next = phi_i * x + ce_i * eps_use + cn_i * z
+        return (x_next.astype(dtype), eps_hat), None
+
+    (x_final, _), _ = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0)),
+        (s_eval, sig_eval, g_eval, phi, c_eps, c_n,
+         c2.astype(dtype), keys),
+    )
+    return x_final
+
+
 def batched_sampler(sampler_fn):
     """vmap a single-condition sampler over a batch of ys and keys.
 

@@ -157,3 +157,87 @@ def test_heun_method_plumbed_through_model_sample(key):
                       method="heun")
     assert xs.shape == (64, 2)
     assert np.all(np.isfinite(np.asarray(xs)))
+
+
+def test_expint_beats_euler_at_equal_steps(key):
+    """Exponential integrators (samplers.exponential_integrator; no
+    reference equivalent): with the EXACT diffused posterior score, both the
+    SDE and ODE order-2 forms at 16 steps must beat 1st-order E-M at the
+    same step count, and 32-step SDE/o1 must land within 2x of EM-200."""
+    from dmip_tpu.samplers import exponential_integrator
+
+    prob = LinearForwardProblem()
+    sde = ReverseSDE()
+    y = jnp.asarray([0.4, -0.2])
+    drift = lambda z, c, s: sde.base.g(s) * prob.diffused_posterior_score(
+        sde.base, z, y, s.reshape(-1)[0] if hasattr(s, "reshape") else s
+    )
+    mean_true, cov_true = prob.posterior_moments(y)
+    n = 20_000
+
+    def moment_err(xs):
+        xs = np.asarray(xs)
+        return (np.linalg.norm(xs.mean(0) - np.asarray(mean_true))
+                + np.linalg.norm(np.cov(xs.T) - np.asarray(cov_true)))
+
+    err_em16 = moment_err(euler_maruyama(sde, drift, key, y, n, 2, 16))
+    for ode in (False, True):
+        xs = exponential_integrator(sde, drift, key, y, n, 2, 16,
+                                    ode=ode, order=2)
+        assert xs.shape == (n, 2)
+        e = moment_err(xs)
+        assert e < err_em16, (ode, e, err_em16)
+        assert e < 0.06, (ode, e)
+
+    e32 = moment_err(exponential_integrator(sde, drift, key, y, n, 2, 32))
+    assert e32 < 0.04, e32
+
+    # the ODE form is deterministic given the key (init only)
+    a = exponential_integrator(sde, drift, key, y, 256, 2, 8, ode=True)
+    b = exponential_integrator(sde, drift, key, y, 256, 2, 8, ode=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_expint_options_and_errors(key):
+    """Grid/order/denoise knobs run and validate; unconditional works."""
+    import pytest
+
+    from dmip_tpu.samplers import exponential_integrator
+
+    sde = ReverseSDE()
+    drift = lambda x, c, s: sde.base.g(s) * (-x)
+    for grid in ("uniform", "lambda"):
+        for fd in (True, False):
+            xs = exponential_integrator(sde, drift, key, None, 512, 2, 12,
+                                        grid=grid, final_denoise=fd)
+            assert xs.shape == (512, 2)
+            assert np.all(np.isfinite(np.asarray(xs)))
+    # stationary N(0,I) score: marginals must stay standard normal
+    xs = exponential_integrator(sde, drift, key, None, 40_000, 2, 24)
+    np.testing.assert_allclose(np.mean(np.asarray(xs), 0), 0.0, atol=0.03)
+    np.testing.assert_allclose(np.cov(np.asarray(xs).T), np.eye(2), atol=0.04)
+    with pytest.raises(ValueError):
+        exponential_integrator(sde, drift, key, None, 8, 2, 4, grid="bogus")
+    with pytest.raises(ValueError):
+        exponential_integrator(sde, drift, key, None, 8, 2, 4, order=3)
+
+
+def test_expint_method_plumbed_through_model_sample(key):
+    """CDE.sample(method='expint[:...]') drives the exponential integrator."""
+    import pytest
+
+    from dmip_tpu.models import CDE
+
+    model = CDE(2, 2, (16, 16))
+    params = model.init(key)
+    y = jnp.asarray([0.1, 0.2])
+    for method in ("expint", "expint:ode:2", "expint:sde:1"):
+        xs = model.sample(params, key, y, 64, 12, method=method)
+        assert xs.shape == (64, 2)
+        assert np.all(np.isfinite(np.asarray(xs)))
+    # the ode and sde paths genuinely differ
+    a = model.sample(params, key, y, 64, 12, method="expint:ode")
+    b = model.sample(params, key, y, 64, 12, method="expint:sde")
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        model.sample(params, key, y, 8, 4, method="expint:bogus")
