@@ -82,12 +82,19 @@ def run(config: dict) -> tuple:
         step=int(config["n_epochs"]), key=k_train,
     )
 
+    # eval_method/eval_num_steps: evaluation-protocol sampler ('auto' =
+    # 200-step E-M; 'expint[:ode|:sde][:1|:2]' + eval_num_steps ~32 = the
+    # exponential integrator at ~6x fewer net evaluations — see
+    # tools/expint_eval.py for the measured-parity table).
+    eval_method = str(config.get("eval_method", "auto"))
+    eval_steps = int(config.get("eval_num_steps", 200))
     metrics = evaluate.evaluate_linear(
         model, params, prob,
         y_test[: int(config["n_samples_y"])], k_eval,
         out_dir=config["out_dir"], plot_ys=config.get("plot_ys", ()),
         n_samples_x=int(config["n_samples_x"]),
         n_repeats=int(config.get("n_repeats", 10)),
+        num_steps=eval_steps, method=eval_method,
     )
 
     if config.get("refine"):
@@ -106,6 +113,7 @@ def run(config: dict) -> tuple:
             out_dir=config["out_dir"] + f"_refined_{tag}",
             n_samples_x=int(config["n_samples_x"]),
             n_repeats=int(config.get("n_repeats", 10)),
+            num_steps=eval_steps, method=eval_method,
         )
         print(f"refined[{tag}]: KL={r_metrics[0]:.4f} NLPD={r_metrics[1]:.4f} "
               f"score-MSE={r_metrics[2]:.4f}", flush=True)

@@ -92,12 +92,20 @@ def run(config: dict, gt_dir: str) -> tuple:
     )
 
     gt_loader = lambda i, j: np.load(os.path.join(gt_dir, str(i), f"{j}.npy"))
+    # eval_method/eval_num_steps: sampler used by the evaluation protocol —
+    # 'auto' is the fused 200-step E-M kernel; 'expint[:ode|:sde][:1|:2]'
+    # with eval_num_steps ~32 runs the exponential integrator at ~6x fewer
+    # net evaluations (samplers.exponential_integrator; measured-parity
+    # table in BENCHMARKS.md / tools/expint_eval.py).
+    eval_method = str(config.get("eval_method", "auto"))
+    eval_steps = int(config.get("eval_num_steps", 200))
     metrics = evaluate.evaluate_scatterometry(
         model, params, forward_model, fparams, score_post,
         y_test, gt_loader, k_eval,
         out_dir=config["out_dir"], plot_ys=config.get("plot_ys", ()),
         n_samples_x=int(config["n_samples_x"]),
         n_repeats=int(config.get("n_repeats", 10)),
+        num_steps=eval_steps, method=eval_method,
     )
 
     refine_cfg = config.get("refine")
@@ -139,6 +147,7 @@ def run(config: dict, gt_dir: str) -> tuple:
             out_dir=r_out, plot_ys=(),
             n_samples_x=int(config["n_samples_x"]),
             n_repeats=int(config.get("n_repeats", 10)),
+            num_steps=eval_steps, method=eval_method,
         )
         print(
             f"energy-refined ({refined.kernel}{refined.refine_steps}): "
