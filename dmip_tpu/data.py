@@ -89,6 +89,13 @@ def get_gt_samples_scatterometry(src_dir: str, y_idx: int, repeat: int):
         return np.load(f)
 
 
+def gt_loader(src_dir: str):
+    """The ``(i, j) -> gt array`` closure every scatterometry eval consumes
+    (evaluate.evaluate_scatterometry's ``gt_loader`` argument), bound to one
+    GT directory.  Single home for the gt_dir/<i>/<j>.npy convention."""
+    return lambda i, j: get_gt_samples_scatterometry(src_dir, i, j)
+
+
 # Optimizer steps per scatterometry epoch (reference datasets.py:26-34:
 # 8 x batch_size fresh samples every epoch).  lr schedules that count
 # optimizer steps (cosine decay_steps) must scale n_epochs by this.

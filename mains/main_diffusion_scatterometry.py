@@ -18,7 +18,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import numpy as np
 
 from dmip_tpu import checkpoints, data, evaluate, train
 from dmip_tpu.problems import scatterometry as scat
@@ -91,7 +90,7 @@ def run(config: dict, gt_dir: str) -> tuple:
         step=int(config["n_epochs"]), key=k_train,
     )
 
-    gt_loader = lambda i, j: np.load(os.path.join(gt_dir, str(i), f"{j}.npy"))
+    gt_loader = data.gt_loader(gt_dir)
     # eval_method/eval_num_steps: sampler used by the evaluation protocol —
     # 'auto' is the fused 200-step E-M kernel; 'expint[:ode|:sde][:1|:2]'
     # with eval_num_steps ~32 runs the exponential integrator at ~6x fewer

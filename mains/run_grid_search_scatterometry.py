@@ -14,7 +14,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import numpy as np
 
 from dmip_tpu import data, evaluate, gridsearch, train
 from dmip_tpu.problems import scatterometry as scat
@@ -65,9 +64,7 @@ def main():
             )
         return params
 
-    gt_loader = lambda i, j: np.load(
-        os.path.join(args.gt_dir, str(i), f"{j}.npy")
-    )
+    gt_loader = data.gt_loader(args.gt_dir)
 
     def eval_fn(model, params, y_eval, out_dir):
         return evaluate.evaluate_scatterometry(

@@ -222,3 +222,54 @@ def test_resolve_mesh():
     assert train.resolve_mesh(m) is m
     assert train.resolve_mesh("auto") is not None  # 8 virtual devices
     assert train.resolve_mesh(get_mesh(1)) is None
+
+
+def test_init_multihost_no_coordinator(monkeypatch):
+    """Without a coordinator env, init_multihost is a safe single-host no-op."""
+    from dmip_tpu.parallel import mesh as pmesh
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    assert pmesh.init_multihost() is False
+    assert called == []
+    # allow_multihost on a single host degrades to the plain local mesh
+    m = pmesh.get_mesh(8, allow_multihost=True)
+    assert m.size == 8
+
+
+def test_init_multihost_env_flag_path(monkeypatch):
+    """With a coordinator configured, jax.distributed.initialize is invoked
+    with the env-resolved process topology (flag-path test; no real DCN)."""
+    from dmip_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    assert pmesh.init_multihost() is True
+    assert called == [dict(coordinator_address="10.0.0.1:1234",
+                           num_processes=4, process_id=2)]
+    # explicit arguments win over env
+    called.clear()
+    assert pmesh.init_multihost("other:1", 2, 0) is True
+    assert called[0]["coordinator_address"] == "other:1"
+    assert called[0]["num_processes"] == 2
+
+
+def test_init_multihost_idempotent(monkeypatch):
+    """A second call after successful init must not re-initialize."""
+    from dmip_tpu.parallel import mesh as pmesh
+
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    assert pmesh.init_multihost("x:1") is True
+    assert called == []

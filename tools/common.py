@@ -83,7 +83,7 @@ def scat_setup(n_ys: int = 100) -> ScatSetup:
 
 def gt_loader(gt_dir: str) -> Callable[[int, int], np.ndarray]:
     """Reference datasets.get_gt_samples_scatterometry: gt_dir/<i>/<j>.npy."""
-    return lambda i, j: np.load(os.path.join(gt_dir, str(i), f"{j}.npy"))
+    return data.gt_loader(gt_dir)
 
 
 def resolve_checkpoint(

@@ -40,11 +40,27 @@ from tools import common
 
 
 def parse_settings(spec: str):
-    """'auto@200,expint:sde:1@32' -> [('auto', 200), ('expint:sde:1', 32)]."""
+    """'auto@200,expint:sde:1@32' -> [('auto', 200), ('expint:sde:1', 32)].
+
+    Each entry must match method@num_steps (method may itself contain ':'
+    qualifiers); a malformed token raises a ValueError naming it."""
     out = []
     for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "@" not in part:
+            raise ValueError(
+                f"bad --settings entry {part!r}: expected method@num_steps "
+                "(e.g. auto@200 or expint:sde:1@32)")
         method, steps = part.rsplit("@", 1)
+        if not method or not steps.isdigit():
+            raise ValueError(
+                f"bad --settings entry {part!r}: num_steps must be an "
+                "integer (method@num_steps grammar)")
         out.append((method, int(steps)))
+    if not out:
+        raise ValueError(f"--settings {spec!r} parsed to an empty list")
     return out
 
 
@@ -137,6 +153,17 @@ def main():
     runner = (scat_runner if args.problem == "scatterometry"
               else linear_runner)(args)
 
+    summary_path = os.path.join(args.out_dir, "summary.csv")
+
+    def write_summary(rows):
+        # rewritten after EVERY setting so a crash in a later (larger)
+        # setting keeps the completed aggregate rows on disk
+        os.makedirs(args.out_dir, exist_ok=True)
+        with open(summary_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+
     rows = []
     for method, steps in parse_settings(args.settings):
         label = f"{method}@{steps}".replace(":", "-").replace("@", "_")
@@ -152,16 +179,11 @@ def main():
         rows.append(dict(method=method, num_steps=steps,
                          nfe=nfe_of(method, steps), kl=kl, kl_rev=kl_rev,
                          nlpd=nlpd, w2=w2, mse=mse, wall_s=round(wall, 1)))
+        write_summary(rows)
         print(f"{method}@{steps}: NFE={rows[-1]['nfe']} KL={kl:.4f} "
               f"rev={kl_rev:.4f} NLPD={nlpd:.4f} W2={w2:.4f} "
               f"wall={wall:.1f}s", flush=True)
-
-    os.makedirs(args.out_dir, exist_ok=True)
-    with open(os.path.join(args.out_dir, "summary.csv"), "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
-    print(f"summary -> {os.path.join(args.out_dir, 'summary.csv')}")
+    print(f"summary -> {summary_path}")
 
 
 if __name__ == "__main__":
