@@ -61,30 +61,9 @@ def pad_trials(lams: Sequence[float], lam2s: Sequence[float], multiple: int):
     return jnp.asarray(lams, jnp.float32), jnp.asarray(lam2s, jnp.float32), n
 
 
-def make_ensemble_epoch_fn(
-    model: DiffusionModel,
-    cfg: LossConfig,
-    optimizer,
-    batch_fn: Callable[..., Tuple[Array, Array]],
-    epochs_per_call: int = 1,
-    loss_kwargs: Optional[Dict[str, Any]] = None,
-    mesh=None,
-    axis_name: str = "data",
-    donate: bool = True,
-    skip_nonfinite: bool = True,
-):
-    """Build the jitted multi-epoch ensemble step.
-
-    Returns epochs(ens_params, ens_opt_state, key, epoch0, lams, lam2s,
-    n_active) -> (ens_params, ens_opt_state, losses (epochs_per_call, K),
-    infos dict of (epochs_per_call, K)).
-
-    ``lams``/``lam2s`` are traced (K,) arrays: cfg's lam/lam2 are replaced
-    per trial at trace time, which is sound because every loss uses them
-    multiplicatively (dmip_tpu.losses).  The key/batch schedule matches
-    :func:`dmip_tpu.train.make_epoch_fn` exactly, so trial k here equals a
-    sequential run with lam=lams[k].
-    """
+def _make_trial_step(model, cfg, optimizer, loss_kwargs, skip_nonfinite):
+    """One trial's (params, opt_state) update with traced lam/lam2 scalars
+    (sound because every loss uses them multiplicatively — dmip_tpu.losses)."""
     loss_kwargs = dict(loss_kwargs or {})
 
     def loss_with(params, key, x, y, lam, lam2):
@@ -111,8 +90,17 @@ def make_ensemble_epoch_fn(
             new_opt_state = keep(new_opt_state, opt_state)
         return new_params, new_opt_state, loss, info
 
-    # trial axis: params/opt_state/lam/lam2 mapped, (key, batch) shared
-    vstep = jax.vmap(trial_step, in_axes=(0, 0, None, None, None, 0, 0))
+    return trial_step
+
+
+def _epochs_loop(step, batch_fn, epochs_per_call: int):
+    """The shared multi-epoch/batch scan around a per-batch trial update.
+
+    ``step(params, opt_state, key, x, y, lams, lam2s)`` may be the vmapped
+    K-trial step (lams a (K,) array) or a single trial's plain step (lams a
+    scalar) — the loop only threads them through.  The key/batch schedule
+    matches :func:`dmip_tpu.train.make_epoch_fn` exactly.
+    """
 
     def epochs(params, opt_state, key, epoch0, lams, lam2s,
                n_active=epochs_per_call):
@@ -126,7 +114,7 @@ def make_ensemble_epoch_fn(
             def body(c, binp):
                 p, o = c
                 k, x, y = binp
-                p, o, loss, info = vstep(p, o, k, x, y, lams, lam2s)
+                p, o, loss, info = step(p, o, k, x, y, lams, lam2s)
                 return (p, o), (loss, info)
 
             new_carry, (losses, infos) = jax.lax.scan(
@@ -136,7 +124,7 @@ def make_ensemble_epoch_fn(
             keep = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(active, a, b), new_carry, carry
             )
-            # per-trial means over the epoch's batches: (K,)
+            # per-trial means over the epoch's batches
             return keep, (jnp.mean(losses, axis=0),
                           {k: jnp.mean(v, axis=0) for k, v in infos.items()})
 
@@ -146,6 +134,41 @@ def make_ensemble_epoch_fn(
             one_epoch, (params, opt_state), (js, keys)
         )
         return params, opt_state, losses, infos
+
+    return epochs
+
+
+def make_ensemble_epoch_fn(
+    model: DiffusionModel,
+    cfg: LossConfig,
+    optimizer,
+    batch_fn: Callable[..., Tuple[Array, Array]],
+    epochs_per_call: int = 1,
+    loss_kwargs: Optional[Dict[str, Any]] = None,
+    mesh=None,
+    axis_name: str = "data",
+    donate: bool = True,
+    skip_nonfinite: bool = True,
+):
+    """Build the jitted multi-epoch ensemble step.
+
+    Returns epochs(ens_params, ens_opt_state, key, epoch0, lams, lam2s,
+    n_active) -> (ens_params, ens_opt_state, losses (epochs_per_call, K),
+    infos dict of (epochs_per_call, K)).
+
+    ``lams``/``lam2s`` are traced (K,) arrays: cfg's lam/lam2 are replaced
+    per trial at trace time, which is sound because every loss uses them
+    multiplicatively (dmip_tpu.losses).  The key/batch schedule matches
+    :func:`dmip_tpu.train.make_epoch_fn` exactly, so trial k here equals a
+    sequential run with lam=lams[k].
+    """
+    trial_step = _make_trial_step(model, cfg, optimizer, loss_kwargs,
+                                  skip_nonfinite)
+
+    # trial axis: params/opt_state/lam/lam2 mapped, (key, batch) shared
+    vstep = jax.vmap(trial_step, in_axes=(0, 0, None, None, None, 0, 0))
+
+    epochs = _epochs_loop(vstep, batch_fn, epochs_per_call)
 
     if mesh is None:
         return jax.jit(epochs, donate_argnums=(0, 1) if donate else ())
@@ -163,6 +186,79 @@ def make_ensemble_epoch_fn(
         out_shardings=(trial_sh, trial_sh, hist_sh, hist_sh),
         donate_argnums=(0, 1) if donate else (),
     )
+
+
+def make_pinned_ensemble_epoch_fn(
+    model: DiffusionModel,
+    cfg: LossConfig,
+    optimizer,
+    batch_fn: Callable[..., Tuple[Array, Array]],
+    mesh,
+    epochs_per_call: int = 1,
+    loss_kwargs: Optional[Dict[str, Any]] = None,
+    axis_name: str = "data",
+    donate: bool = True,
+    skip_nonfinite: bool = True,
+):
+    """Device-PINNED trial scheduling: one trial per device via ``shard_map``.
+
+    The vmapped ensemble (:func:`make_ensemble_epoch_fn`) stacks the trial
+    axis into every weight matmul — a win only while a single trial leaves
+    the chip idle (DSM: 2.0x at K=9 single-chip), a measured 0.74x SLOWDOWN
+    for near-saturated losses like PINN (bench.py --ensemble, round 4).
+    Here each device instead runs the UNCHANGED single-trial program — the
+    same jaxpr a sequential run compiles, no stacked-weight batching — on
+    its own shard of the trial axis, with zero cross-trial communication:
+    K = mesh.size trials cost one trial's wall-clock regardless of how
+    saturated the loss is.  This is the sharded-trials design SURVEY.md §7
+    (item 8) calls for, replacing the reference's sequential
+    model_selection.py:16 loop.
+
+    Trial count must equal mesh.size (pad with :func:`pad_trials`); the
+    key/batch schedule is shared, so trial k's result equals the sequential
+    run's (equality-tested in tests/test_ensemble.py).  Same signature as
+    :func:`make_ensemble_epoch_fn`'s return.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    trial_step = _make_trial_step(model, cfg, optimizer, loss_kwargs,
+                                  skip_nonfinite)
+    epochs1 = _epochs_loop(trial_step, batch_fn, epochs_per_call)
+
+    def local_body(params, opt_state, key, epoch0, lams, lam2s, n_active):
+        # local shapes: leading trial axis of size K / mesh.size == 1
+        squeeze = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+        p, o, losses, infos = epochs1(
+            squeeze(params), squeeze(opt_state), key, epoch0,
+            lams[0], lam2s[0], n_active,
+        )
+        expand = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
+        # losses: (epochs_per_call,) -> (epochs_per_call, 1) local trial col
+        return (expand(p), expand(o), losses[:, None],
+                {k: v[:, None] for k, v in infos.items()})
+
+    ax = axis_name
+    sharded = shard_map(
+        local_body,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(), P(), P(ax), P(ax), P()),
+        out_specs=(P(ax), P(ax), P(None, ax), P(None, ax)),
+        check_vma=False,
+    )
+
+    def epochs(params, opt_state, key, epoch0, lams, lam2s,
+               n_active=epochs_per_call):
+        if lams.shape[0] != mesh.size:
+            raise ValueError(
+                f"pinned ensemble needs n_trials == mesh.size "
+                f"({lams.shape[0]} != {mesh.size}); pad with pad_trials()"
+            )
+        return sharded(params, opt_state, key,
+                       jnp.asarray(epoch0, jnp.int32), lams, lam2s,
+                       jnp.asarray(n_active, jnp.int32))
+
+    return jax.jit(epochs, donate_argnums=(0, 1) if donate else ())
 
 
 def ensemble_fit(
@@ -234,6 +330,7 @@ def make_train_many(
     grad_clip: Optional[float] = None,
     mesh="auto",
     write_logs: bool = True,
+    backend: str = "auto",
 ):
     """Build the ``train_many`` callable for :func:`dmip_tpu.gridsearch.grid_search`.
 
@@ -241,6 +338,13 @@ def make_train_many(
     sequential ``train_fn``, so per-trial results match sequential training.
     mesh="auto": shard the trial axis over all visible devices (trial count
     is padded to a mesh-divisible length by repeating the last trial).
+
+    ``backend``: 'vmap' stacks the trial axis into every op
+    (:func:`make_ensemble_epoch_fn` — best for low-MFU losses like DSM);
+    'pinned' runs one trial per device as the unchanged sequential program
+    (:func:`make_pinned_ensemble_epoch_fn` — best for saturated losses like
+    PINN, K == mesh.size per wave); 'auto' picks 'pinned' when a multi-device
+    mesh is available and K fills it, else 'vmap'.
     """
 
     def train_many(model, loss_cfg, full_cfgs, train_dirs, log_dirs):
@@ -256,19 +360,51 @@ def make_train_many(
         multiple = m.size if m is not None else 1
         lams_a, lam2s_a, n_valid = pad_trials(lams, lam2s, multiple)
 
+        be = backend
+        if be == "auto":
+            be = "pinned" if m is not None else "vmap"
         ens = init_ensemble(model, k_init, lams_a.shape[0])
         optimizer = build_optimizer(lr, grad_clip)
-        epoch_fn = make_ensemble_epoch_fn(
-            model, loss_cfg, optimizer, batch_fn, epochs_per_call,
-            loss_kwargs, mesh=m,
-        )
-        desc = "ensemble:" + (
+        if be == "pinned":
+            epoch_fn = make_pinned_ensemble_epoch_fn(
+                model, loss_cfg, optimizer, batch_fn, m, epochs_per_call,
+                loss_kwargs,
+            )
+        else:
+            epoch_fn = make_ensemble_epoch_fn(
+                model, loss_cfg, optimizer, batch_fn, epochs_per_call,
+                loss_kwargs, mesh=m,
+            )
+        desc = f"ensemble[{be}]:" + (
             __import__("os").path.basename(train_dirs[0]) if train_dirs else ""
         )
-        ens, hist = ensemble_fit(
-            epoch_fn, ens, optimizer, k_train, n_epochs, lams_a, lam2s_a,
-            epochs_per_call=epochs_per_call, mesh=m, desc=desc,
-        )
+        if be == "pinned":
+            # one trial per device, ceil(K/D) sequential WAVES of D trials
+            # (the epoch_fn jaxpr is wave-invariant, so compile once)
+            import numpy as np
+
+            D = m.size
+            parts, hists = [], []
+            for w0 in range(0, lams_a.shape[0], D):
+                sl = slice(w0, w0 + D)
+                ens_w = jax.tree_util.tree_map(lambda a: a[sl], ens)
+                ens_w, hist_w = ensemble_fit(
+                    epoch_fn, ens_w, optimizer, k_train, n_epochs,
+                    lams_a[sl], lam2s_a[sl],
+                    epochs_per_call=epochs_per_call, mesh=m,
+                    desc=f"{desc}:wave{w0 // D}",
+                )
+                parts.append(jax.device_get(ens_w))
+                hists.append(hist_w)
+            ens = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs, axis=0), *parts
+            )
+            hist = np.concatenate(hists, axis=1)
+        else:
+            ens, hist = ensemble_fit(
+                epoch_fn, ens, optimizer, k_train, n_epochs, lams_a, lam2s_a,
+                epochs_per_call=epochs_per_call, mesh=m, desc=desc,
+            )
         if write_logs:
             from .utils.metrics import MetricsWriter
 

@@ -87,6 +87,7 @@ def main():
             n_epochs=int(config["n_epochs"]), epochs_per_call=epc,
             loss_kwargs={"initial_condition": prob.score_posterior},
             grad_clip=config.get("grad_clip"),
+            backend=str(config.get("ensemble_backend", "auto")),
         )
 
     gridsearch.grid_search(

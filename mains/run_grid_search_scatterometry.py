@@ -105,6 +105,7 @@ def main():
                 "forward_params": fparams,
             },
             grad_clip=config.get("grad_clip"),
+            backend=str(config.get("ensemble_backend", "auto")),
         )
 
     gridsearch.grid_search(
