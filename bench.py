@@ -768,6 +768,57 @@ def main() -> None:
     )
 
 
+def bench_expint() -> None:
+    """NFE-efficiency wall-clock: the exponential integrator
+    (samplers.exponential_integrator, DPM-Solver family; XLA scan path) vs
+    the fused 200-step E-M Pallas kernel, per 30k-sample posterior at the
+    flagship shapes.  Answers the round-4 verdict's open question: does 6x
+    fewer net evaluations beat the ~50 ms fused kernel in wall-clock?
+    (Accuracy at the full protocol: BENCHMARKS.md NFE-efficiency table /
+    tools/expint_eval.py.)"""
+    model, _ = get_model_from_args(
+        {"model": "CDE", "loss_fn": "DSM", "hidden_layers": [512, 512, 512]},
+        {"xdim": 2, "ydim": 2},
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    y = jax.random.normal(jax.random.PRNGKey(1), (2,))
+
+    def measure(method, steps):
+        sampler = jax.jit(
+            lambda k: model.sample(params, k, y, N_SAMPLES, steps,
+                                   method=method)
+        )
+        jax.block_until_ready(sampler(key))
+        jax.block_until_ready(sampler(jax.random.fold_in(key, 999)))
+        t0 = time.time()
+        for r in range(N_REPS * N_YS):
+            out = sampler(jax.random.fold_in(key, r))
+        jax.block_until_ready(out)
+        return (time.time() - t0) / (N_REPS * N_YS)
+
+    t_em = measure("auto", N_STEPS)
+    t_e32 = measure("expint:sde:1", 32)
+    t_e16 = measure("expint:sde:1", 16)
+    print(
+        json.dumps(
+            {
+                "metric": "expint32_posteriors_per_sec",
+                "value": 1.0 / t_e32,
+                "unit": "posteriors/s (30k samples each)",
+                "vs_baseline": t_em / t_e32,
+                "em200_fused_seconds_per_posterior": t_em,
+                "expint32_seconds_per_posterior": t_e32,
+                "expint16_seconds_per_posterior": t_e16,
+                "expint32_nfe": 33,
+                "em200_nfe": 200,
+                "device": str(jax.devices()[0]),
+                "workload": f"{N_REPS * N_YS} reps x {N_SAMPLES} samples",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--train" in sys.argv[1:]:
         bench_train()
@@ -779,6 +830,8 @@ if __name__ == "__main__":
         bench_mh()
     elif "--ensemble" in sys.argv[1:]:
         bench_ensemble()
+    elif "--expint" in sys.argv[1:]:
+        bench_expint()
     elif "--main-only" in sys.argv[1:]:
         main()
     else:
@@ -788,7 +841,7 @@ if __name__ == "__main__":
         # mode is best-effort — a failure must not invalidate line 1.
         main()
         for fn in (bench_train, bench_refined, bench_mh, bench_dps,
-                   bench_ensemble):
+                   bench_ensemble, bench_expint):
             try:
                 fn()
             except Exception as e:  # pragma: no cover - device-dependent

@@ -101,10 +101,16 @@ def make_gt_kernel(forward_model, fparams, n_chains, metr_steps, noise_std,
     )
 
 
-def run(config: dict, gt_dir: str, plot: bool = True, devices: int = 1) -> None:
+def run(config: dict, gt_dir: str, plot: bool = True, devices: int = 1,
+        mcmc_seed: int = None) -> None:
     forward_model, fparams = scat.load_forward_model()
     key = jax.random.PRNGKey(int(config.get("RANDOM_STATE", 13)))
     k_data, k_mcmc = jax.random.split(key)
+    if mcmc_seed is not None:
+        # FRESH-SEED ground truth: same y_test conditions (k_data untouched),
+        # independent MCMC chains — for held-out validation that any
+        # knob selected against the default GT is not fit to its noise.
+        k_mcmc = jax.random.PRNGKey(int(mcmc_seed))
     _, y_test = data.generate_dataset_scatterometry(
         k_data, forward_model, fparams["a"], fparams["b"],
         size=int(config["n_samples_y"]),
@@ -155,5 +161,10 @@ if __name__ == "__main__":
         "--devices", type=int, default=1,
         help="shard chains over this many devices (-1 = all visible)",
     )
+    p.add_argument(
+        "--mcmc_seed", type=int, default=None,
+        help="fresh-seed GT: same conditions, independent chains",
+    )
     args = p.parse_args()
-    run(load_config(args.config), args.gt_dir, devices=args.devices)
+    run(load_config(args.config), args.gt_dir, devices=args.devices,
+        mcmc_seed=args.mcmc_seed)

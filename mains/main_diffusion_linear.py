@@ -97,7 +97,7 @@ def run(config: dict) -> tuple:
         num_steps=eval_steps, method=eval_method,
     )
 
-    if config.get("refine"):
+    if config.get("refine"):  # (CLI --refine overrides the config key)
         # Energy-refined companion row: the linear problem has an EXACT
         # analytic energy (problems/linear.py log_posterior, re-derived from
         # reference linear_problem.py:48-58), so the same exact-energy
@@ -124,7 +124,13 @@ def run(config: dict) -> tuple:
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/config_linear.yml")
+    p.add_argument("--refine", default=None,
+                   help="override the config's refine spec (models/refined "
+                        "grammar, e.g. mala,60,0.05); out_dir suffix "
+                        "carries the tag")
     args = p.parse_args()
     config = load_config(args.config)
+    if args.refine is not None:
+        config["refine"] = args.refine
     _, (kl, nlpd, mse) = run(config)
     print(f"final: KL={kl:.4f} NLPD={nlpd:.4f} score-MSE={mse:.4f}")

@@ -181,7 +181,12 @@ def main():
     p.add_argument("--method", default="auto",
                    help="proposal sampler method: auto (fused E-M), xla, "
                         "heun (probability-flow ODE — a smooth deterministic "
-                        "pushforward like SNF's flow)")
+                        "pushforward like SNF's flow), or "
+                        "expint[:ode|:sde][:1|:2] (exponential integrator; "
+                        "pair with --num_steps ~32 for the 6x-fewer-NFE "
+                        "proposal — the round-5 composed flagship)")
+    p.add_argument("--num_steps", type=int, default=200,
+                   help="proposal sampler steps (NFE budget for expint)")
     p.add_argument("--paired", action="store_true")
     p.add_argument("--paired_tags", nargs="*", default=None)
     p.add_argument("--gt_dir", default="data/gt_samples_scatterometry")
@@ -211,7 +216,9 @@ def main():
         train_long(args, model, loss_cfg, score_post, forward_model, fparams,
                    k_init, k_train)
 
-    mtag = "" if args.method == "auto" else f"_{args.method}"
+    mtag = "" if args.method == "auto" else f"_{args.method}".replace(":", "-")
+    if args.num_steps != 200:
+        mtag += f"_n{args.num_steps}"
     if args.proposal == "prior":
         mtag += "_prior"
         model = PriorProposal(model, fparams["lambd_bd"])
@@ -230,7 +237,7 @@ def main():
                 m, params, forward_model, fparams, score_post,
                 y_test[: args.select_ys], gt, k_eval,
                 n_samples_x=30000, n_repeats=args.select_repeats,
-                verbose=False, method=args.method,
+                verbose=False, method=args.method, num_steps=args.num_steps,
             )
             print(f"SWEEP {tag}{mtag}{ctag}: sel-KL={kl:.4f} "
                   f"sel-NLPD={nlpd:.4f}", flush=True)
@@ -244,6 +251,7 @@ def main():
             m, params, forward_model, fparams, score_post,
             y_test, gt, k_eval, n_samples_x=30000, n_repeats=10,
             out_dir=out_dir, verbose=False, method=args.method,
+            num_steps=args.num_steps,
         )
         print(f"FULL {tag}: KL={kl:.4f} NLPD={nlpd:.4f} MSE={mse:.4f} "
               f"(results in {out_dir})", flush=True)
