@@ -90,11 +90,39 @@ def main():
                    help="tag for trials that carry a results_full re-score "
                         "(tools/reeval_finalists.py); those tables take "
                         "precedence over the trial's own results.csv")
+    p.add_argument("--merge_into", default=None,
+                   help="existing summary CSV: rows whose trial params "
+                        "match a freshly collected trial are REPLACED (e.g. "
+                        "a 10-repeat re-run superseding a 5-repeat row); "
+                        "all other rows are kept")
     args = p.parse_args()
 
     rows = collect(args.src_dir, args.protocol, args.protocol_full)
     if not rows:
         sys.exit(f"no results under {args.src_dir}")
+
+    if args.merge_into:
+        param_keys = ("loss_fn", "pde_loss", "pde_metric", "ic_metric",
+                      "lam", "lam2")
+
+        def norm(v):
+            # param columns are strings in CSV rows, floats from the walk
+            try:
+                return f"{float(v):g}"
+            except (TypeError, ValueError):
+                return str(v)
+
+        def trial_key(r):
+            return tuple(norm(r.get(k, "")) for k in param_keys)
+
+        with open(args.merge_into) as f:
+            old = list(csv.DictReader(f))
+        fresh = {trial_key(r): r for r in rows}
+        kept = [r for r in old if trial_key(r) not in fresh]
+        print(f"merge: {len(rows)} fresh rows replace "
+              f"{len(old) - len(kept)} of {len(old)} existing")
+        rows = rows + [dict(r) for r in kept]
+        rows.sort(key=lambda r: float(r["kl"]))
     fieldnames = sorted({k for r in rows for k in r})
     for path in filter(None, (os.path.join(args.src_dir, "grid_summary.csv"),
                               args.out)):
