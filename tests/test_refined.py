@@ -221,3 +221,21 @@ def test_refined_through_eval_harness(key, tmp_path):
     out = eval_yr(params, key, jnp.zeros(4), jnp.zeros((64, 3)))
     assert np.isfinite(float(out["nll_model"]))
     assert out["x_pred"].shape == (64, 3)
+
+
+def test_expint_proposal_plumbed_through_refined(key):
+    """The composed round-5 flagship path: EnergyRefinedModel.sample must
+    forward method='expint:...' and num_steps to the proposal sampler
+    (tools/refined_snf_parity.py --method expint:sde:1 --num_steps 32)."""
+    base = CDE(xdim=2, ydim=3, hidden_layers=(16,))
+    params = base.init(key)
+    model = EnergyRefinedModel(base, _energy, refine_steps=2, noise_std=0.2)
+    y = jnp.zeros(3)
+    x = model.sample(params, key, y, num_samples=256, num_steps=8,
+                     method="expint:sde:1")
+    assert x.shape == (256, 2)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    # a different proposal method must change the output (it is actually used)
+    x_em = model.sample(params, key, y, num_samples=256, num_steps=8,
+                        method="xla")
+    assert not np.allclose(np.asarray(x), np.asarray(x_em))
