@@ -65,6 +65,10 @@ TRIAL_DIR = common.BEST_TRIAL_DIR
 TRIAL_CFG = common.BEST_TRIAL_CFG
 BASELINES_CSV = os.path.join("results", "scatterometry", "baselines",
                              "results.csv")
+# results/ is wiped between rounds; the committed per-condition copy keeps
+# paired reports runnable without re-evaluating the baselines
+BASELINES_CSV_ARCHIVE = os.path.join("benchmarks", "paired",
+                                     "scatterometry_baselines.csv")
 
 
 def _setup():
@@ -276,7 +280,9 @@ def paired_report(tag):
     """Per-condition paired stats: refined (and plain CDE) vs SNF."""
     from scipy import stats
 
-    base = _read_csv(BASELINES_CSV)
+    base_path = (BASELINES_CSV if os.path.exists(BASELINES_CSV)
+                 else BASELINES_CSV_ARCHIVE)
+    base = _read_csv(base_path)
     snf_kl = np.array([float(r["KL_SNF"]) for r in base])
     snf_nlpd = np.abs(np.array([float(r["NLL_snf"]) for r in base])
                       - np.array([float(r["NLL_mcmc"]) for r in base]))
