@@ -96,6 +96,29 @@ def gt_loader(src_dir: str):
     return lambda i, j: get_gt_samples_scatterometry(src_dir, i, j)
 
 
+def cached_gt_loader(src_dir: str):
+    """``gt_loader`` with a DEVICE-resident cache: each (i, j) ground-truth
+    array is uploaded once and the jax array reused afterwards.
+
+    Grid search re-evaluates every trial against the identical GT; through
+    the TPU tunnel the repeated host->device GT transfer is a measurable
+    share of eval wall-clock.  The full 100x10x30k GT is ~360 MB of HBM —
+    negligible against 16 GB.  (Consumers stack with ``jnp.asarray``/
+    ``jnp.stack``, which are no-ops on device arrays.)"""
+    import jax.numpy as jnp
+
+    cache = {}
+
+    def load(i, j):
+        if (i, j) not in cache:
+            cache[(i, j)] = jnp.asarray(
+                get_gt_samples_scatterometry(src_dir, i, j), jnp.float32
+            )
+        return cache[(i, j)]
+
+    return load
+
+
 # Optimizer steps per scatterometry epoch (reference datasets.py:26-34:
 # 8 x batch_size fresh samples every epoch).  lr schedules that count
 # optimizer steps (cosine decay_steps) must scale n_epochs by this.

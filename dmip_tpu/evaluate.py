@@ -671,43 +671,47 @@ def evaluate_scatterometry(  # noqa: C901 — mirrors the reference's two-path w
         else:
             params_r = params
             put = lambda arr: arr
+        kl_pair_v = jax.jit(jax.vmap(kl_pair))
         for c0 in range(0, n_y, chunk_n):
             idx = list(range(c0, min(c0 + chunk_n, n_y)))
             pad = chunk_n - len(idx)
             sel = idx + [idx[-1]] * pad  # pad by repeating; outputs discarded
-            hist_t_sum = np.zeros((len(idx), nbins**3), np.float32)
-            hist_p_sum = np.zeros((len(idx), nbins**3), np.float32)
-            nll_t = np.zeros(len(idx))
-            nll_p = np.zeros(len(idx))
-            mse = np.zeros(len(idx))
-            w2 = np.zeros(len(idx))
+            # Accumulate ON DEVICE across repeats and reduce the histograms
+            # to KLs on device: device_get-ing the (chunk, nbins^3) pair
+            # every repeat moved ~8.4 GB per 100x10 full eval through the
+            # TPU tunnel and dominated eval wall-clock (round-5 profile —
+            # the metric kernels themselves are <10 ms/unit).  Only O(chunk)
+            # scalars leave the device per chunk now.
+            acc = None
             for j in range(n_repeats):
-                x_true = np.stack(
-                    [np.asarray(gt_loader(i, j), np.float32) for i in sel]
-                )
-                out = jax.device_get(eval_many(
+                x_true = jnp.stack([
+                    jnp.asarray(gt_loader(i, j), jnp.float32) for i in sel
+                ])
+                out = eval_many(
                     params_r,
                     put(ykeys[jnp.asarray(sel), j]),
                     put(ys[jnp.asarray(sel)]),
-                    put(jnp.asarray(x_true)),
-                ))
-                n = len(idx)
-                hist_t_sum += out["hist_true"][:n]
-                hist_p_sum += out["hist_model"][:n]
-                nll_t += out["nll_true"][:n] / n_repeats
-                nll_p += out["nll_model"][:n] / n_repeats
-                mse += out["mse_score"][:n] / n_repeats
-                w2 += out["w2"][:n] / n_repeats
-            for jj in range(len(idx)):
-                kl, kl_rev = kl_pair(
-                    jnp.asarray(hist_t_sum[jj]), jnp.asarray(hist_p_sum[jj])
+                    put(x_true),
                 )
-                kl_vals.append(float(kl))
-                kl_rev_vals.append(float(kl_rev))
-                nll_true.append(float(nll_t[jj]))
-                nll_model.append(float(nll_p[jj]))
-                mse_vals.append(float(mse[jj]))
-                w2_vals.append(float(w2[jj]))
+                acc = out if acc is None else {
+                    k: acc[k] + v for k, v in out.items()
+                }
+            kl, kl_rev = kl_pair_v(acc["hist_true"], acc["hist_model"])
+            small = jax.device_get({
+                "kl": kl, "kl_rev": kl_rev,
+                "nll_t": acc["nll_true"] / n_repeats,
+                "nll_p": acc["nll_model"] / n_repeats,
+                "mse": acc["mse_score"] / n_repeats,
+                "w2": acc["w2"] / n_repeats,
+            })
+            n = len(idx)
+            kl_vals.extend(np.asarray(small["kl"][:n], np.float64).tolist())
+            kl_rev_vals.extend(
+                np.asarray(small["kl_rev"][:n], np.float64).tolist())
+            nll_true.extend(np.asarray(small["nll_t"][:n], np.float64).tolist())
+            nll_model.extend(np.asarray(small["nll_p"][:n], np.float64).tolist())
+            mse_vals.extend(np.asarray(small["mse"][:n], np.float64).tolist())
+            w2_vals.extend(np.asarray(small["w2"][:n], np.float64).tolist())
             _progress(min(c0 + chunk_n, n_y))
 
     for i in range(n_y):

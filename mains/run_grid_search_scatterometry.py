@@ -64,7 +64,11 @@ def main():
             )
         return params
 
-    gt_loader = data.gt_loader(args.gt_dir)
+    # device-resident GT cache: every trial re-evaluates against the same
+    # ground truth, so upload each (i, j) array once (data.cached_gt_loader)
+    gt_loader = (data.cached_gt_loader(args.gt_dir)
+                 if config.get("eval_gt_cache", True)
+                 else data.gt_loader(args.gt_dir))
 
     def eval_fn(model, params, y_eval, out_dir):
         return evaluate.evaluate_scatterometry(
