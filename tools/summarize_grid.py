@@ -133,7 +133,8 @@ def main():
         print(f"wrote {len(rows)} trials -> {path}")
     print("top 5 by KL:")
     for r in rows[:5]:
-        print(f"  kl={r['kl']:.3f} nlpd={r['nlpd']:.3f} {r}")
+        # merged rows read back from CSV carry string values
+        print(f"  kl={float(r['kl']):.3f} nlpd={float(r['nlpd']):.3f} {r}")
 
 
 if __name__ == "__main__":
